@@ -1,0 +1,106 @@
+"""ctypes binding to the native C++ chemistry kernels (csrc/libmmchem.so).
+
+The native library accelerates the host-side hot loop the reference runs
+through RDKit's C++ core (/root/reference/data/conformer.py:90-145): conformer
+refinement and pairwise-distance featurization.  Falls back to the numpy
+implementation in mmdti_tpu.chem.conformer when the library is not built.
+
+Build with:  make -C csrc
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.environ.get("MMCHEM_LIB", ""),
+        os.path.join(here, "csrc", "libmmchem.so"),
+        os.path.join(os.path.dirname(__file__), "libmmchem.so"),
+    ):
+        if cand and os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.mmchem_refine.restype = ctypes.c_int
+                lib.mmchem_refine.argtypes = [
+                    ctypes.c_int,                    # n atoms
+                    ctypes.POINTER(ctypes.c_float),  # coords [n,3] in/out
+                    ctypes.c_int,                    # n bond terms
+                    ctypes.POINTER(ctypes.c_int),    # bond idx [nb,2]
+                    ctypes.POINTER(ctypes.c_float),  # bond len [nb]
+                    ctypes.c_int,                    # n angle terms
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int,                    # n nonbonded
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_int,                    # iters
+                ]
+                lib.mmchem_distance_matrix.restype = None
+                lib.mmchem_distance_matrix.argtypes = [
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def refine_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:
+    """Run the C++ refinement; returns None when the library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    from mmdti_tpu.chem.conformer import _build_terms
+
+    bidx, blen, aidx, alen, nidx = _build_terms(mol)
+    x = np.ascontiguousarray(coords, dtype=np.float32).copy()
+    bidx = np.ascontiguousarray(bidx, dtype=np.int32)
+    blen = np.ascontiguousarray(blen, dtype=np.float32)
+    aidx = np.ascontiguousarray(aidx, dtype=np.int32)
+    alen = np.ascontiguousarray(alen, dtype=np.float32)
+    nidx = np.ascontiguousarray(nidx, dtype=np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    rc = lib.mmchem_refine(
+        x.shape[0],
+        x.ctypes.data_as(fp),
+        len(blen), bidx.ctypes.data_as(ip), blen.ctypes.data_as(fp),
+        len(alen), aidx.ctypes.data_as(ip), alen.ctypes.data_as(fp),
+        len(nidx), nidx.ctypes.data_as(ip),
+        iters,
+    )
+    if rc != 0:
+        return None
+    return x
+
+
+def distance_matrix(coords: np.ndarray) -> Optional[np.ndarray]:
+    lib = _lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(coords, dtype=np.float32)
+    n = x.shape[0]
+    out = np.empty((n, n), dtype=np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.mmchem_distance_matrix(n, x.ctypes.data_as(fp), out.ctypes.data_as(fp))
+    return out
