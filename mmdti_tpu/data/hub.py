@@ -1,0 +1,125 @@
+"""DataHub: end-to-end host-side data preparation.
+
+Re-design of the reference DataHub (/root/reference/data/datahub.py:171-349):
+reads CSV/dict/list, fits/applies the target scaler per task type (fitting on
+the ``raw_data`` CSV targets when provided, matching datahub.py:219-228),
+computes ConR sample weights, generates (and pickle-caches) conformer
+features, and attaches the SMILES string and weight to each sample dict.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from mmdti_tpu.chem import ConformerGen
+from mmdti_tpu.data.reader import MolDataReader
+from mmdti_tpu.data.scaler import TargetScaler
+from mmdti_tpu.data.weights import compute_sample_weights
+from mmdti_tpu.utils.logger import logger
+
+
+class DataHub:
+    def __init__(self, data=None, is_train: bool = True, save_path: Optional[str] = None, **params):
+        self.data: Dict[str, Any] = {}
+        self.is_train = is_train
+        self.save_path = save_path
+        self.task = params.get("task", None)
+        self.target_cols = params.get("target_cols", None)
+        self.multiclass_cnt = params.get("multiclass_cnt", None)
+        self.cache_dir_train = params.get("cache_dir_train", None)
+        self.cache_dir_test = params.get("cache_dir_test", None)
+        self.ss_method = params.get("target_normalize", "none")
+        self.all_weight = params.get("all_weight", False)
+        self.raw_data = params.get("raw_data", None)
+        self.lds = params.get("lds", False)
+        self.use_scaler = params.get("use_scaler", True)
+        self.max_bin = params.get("fds_num", 200)
+        self.use_weight = params.get("use_weight", False)
+        self._init_data(data, **params)
+
+    # ------------------------------------------------------------------
+    def _scaler_fit_source(self, fallback: np.ndarray) -> np.ndarray:
+        """Targets used to *fit* the scaler: the raw training CSV when given
+        (reference behavior), else this split's targets."""
+        if self.raw_data and isinstance(self.raw_data, str) and os.path.exists(self.raw_data):
+            cols = self.data["target_cols"]
+            return pd.read_csv(self.raw_data)[cols].values
+        return fallback
+
+    def _init_data(self, data, **params) -> None:
+        self.data = MolDataReader().read_data(data, self.is_train, **params)
+        task = self.task
+        num_classes = self.data.get("num_classes")
+
+        scaler = TargetScaler(self.ss_method, task, self.save_path) if self.use_scaler else None
+        self.data["target_scaler"] = scaler
+
+        raw_target = self.data["raw_target"]
+        if task == "regression":
+            target = np.array(raw_target, dtype=np.float32).reshape(-1, 1)
+            if scaler is not None:
+                if self.is_train and scaler.scaler is None:
+                    scaler.fit(self._scaler_fit_source(target), self.save_path)
+                    logger.info("Fitted target scaler.")
+                target = scaler.transform(target)
+            self.data["target"] = np.asarray(target, dtype=np.float32)
+        elif task == "classification":
+            self.data["target"] = np.array(raw_target, dtype=np.int32).reshape(-1, 1)
+        elif task == "multiclass":
+            self.data["target"] = np.array(raw_target, dtype=np.int32).reshape(-1, 1)
+            if not self.is_train:
+                self.data["multiclass_cnt"] = self.multiclass_cnt
+        elif task == "multilabel_regression":
+            target = np.array(raw_target, dtype=np.float32).reshape(-1, num_classes)
+            if scaler is not None:
+                if self.is_train and scaler.scaler is None:
+                    scaler.fit(self._scaler_fit_source(target), self.save_path)
+                target = scaler.transform(target)
+            self.data["target"] = np.asarray(target, dtype=np.float32)
+        elif task == "multilabel_classification":
+            self.data["target"] = np.array(raw_target, dtype=np.int32).reshape(-1, num_classes)
+        elif task == "repr":
+            self.data["target"] = raw_target
+        else:
+            raise ValueError(f"Unknown task: {task}")
+
+        # sample weights
+        if self.use_weight and task != "repr":
+            self.data["weights"] = compute_sample_weights(
+                self.data["target"], all_weight=self.all_weight, lds=self.lds, max_bin=self.max_bin
+            )
+            logger.info("Computed %s sample weights.", "per-column" if self.all_weight else "single-column")
+        else:
+            tgt = np.asarray(self.data["target"]) if task != "repr" else np.zeros((len(self.data["smiles"] or []), 1))
+            self.data["weights"] = np.ones_like(tgt, dtype=np.float32)
+
+        # conformer features (cached)
+        cache_dir = self.cache_dir_train if self.is_train else self.cache_dir_test
+        features = None
+        if cache_dir is not None and os.path.exists(cache_dir):
+            with open(cache_dir, "rb") as f:
+                features = pickle.load(f)
+            logger.info("Loaded conformer features from cache %s", cache_dir)
+        if features is None:
+            if "atoms" in self.data and "coordinates" in self.data:
+                features = ConformerGen(**params).transform_raw(
+                    self.data["atoms"], self.data["coordinates"]
+                )
+            else:
+                features = ConformerGen(**params).transform(self.data["smiles"])
+            if cache_dir is not None:
+                os.makedirs(os.path.dirname(os.path.abspath(cache_dir)), exist_ok=True)
+                with open(cache_dir, "wb") as f:
+                    pickle.dump(features, f)
+                logger.info("Saved conformer features to cache %s", cache_dir)
+
+        weights = np.asarray(self.data["weights"])
+        for idx, item in enumerate(features):
+            item["smile"] = self.data["smiles"][idx]
+            item["weights"] = weights[idx] if weights.ndim > 0 else weights
+        self.data["unimol_input"] = features
