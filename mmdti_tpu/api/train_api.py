@@ -1,0 +1,153 @@
+"""MolTrain: the user-facing fit API.
+
+Same public surface and artifact contract as the reference MolTrain
+(/root/reference/train.py:21-212): ~40 kwargs layered over the default config,
+experiment dir receives config.yaml + target_scaler.ss + threshold.dat +
+model_0.ckpt, and MolPredict reloads them verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import joblib
+import numpy as np
+
+from mmdti_tpu.configs.config import Config, default_config, save_yaml
+from mmdti_tpu.data.hub import DataHub
+from mmdti_tpu.train.nnmodel import NNModel
+from mmdti_tpu.train.trainer import Trainer
+from mmdti_tpu.utils.logger import logger
+
+
+class MolTrain:
+    def __init__(
+        self,
+        task: str = "classification",
+        data_type: str = "molecule",
+        epochs: int = 10,
+        learning_rate: float = 1e-4,
+        batch_size: int = 16,
+        early_stopping: int = 5,
+        metrics: str = "none",
+        save_path: str = "./exp",
+        remove_hs: bool = False,
+        smiles_col: str = "SMILES",
+        target_col_prefix: str = "TARGET",
+        target_cols=None,
+        target_anomaly_check: str = "filter",
+        smiles_check: str = "filter",
+        target_normalize: str = "auto",
+        max_norm: float = 5.0,
+        use_cuda: bool = True,
+        use_amp: bool = True,
+        model_name: str = "mm_model",
+        chemberta_dir: str = "",
+        unimol_dir: str = "",
+        using_infonce: bool = False,
+        using_ct: bool = False,
+        cache_dir_train: Optional[str] = None,
+        cache_dir_test: Optional[str] = None,
+        use_weight: bool = False,
+        all_weight: bool = False,
+        alpha: float = 1,
+        beta: float = 0.1,
+        raw_data: Optional[str] = None,
+        fds: bool = False,
+        lds: bool = False,
+        seed: int = 42,
+        use_scaler: bool = True,
+        fds_num: int = 200,
+        fds_raw_path: str = "",
+        fds_col_data: str = "",
+        ct_lamda: float = 1.0,
+        ct_w: float = 0.2,
+        **params,
+    ):
+        config = default_config()
+        config.task = task
+        config.data_type = data_type
+        config.epochs = epochs
+        config.learning_rate = learning_rate
+        config.batch_size = batch_size
+        config.patience = early_stopping
+        config.metrics = metrics
+        config.remove_hs = remove_hs
+        config.smiles_col = smiles_col
+        config.target_col_prefix = target_col_prefix
+        config.target_cols = target_cols
+        config.anomaly_clean = target_anomaly_check in ["filter"]
+        config.smi_strict = smiles_check in ["filter"]
+        config.target_normalize = target_normalize
+        config.max_norm = max_norm
+        config.use_cuda = use_cuda
+        config.use_amp = use_amp
+        config.model_name = model_name
+        config.chemberta_dir = chemberta_dir
+        config.unimol_dir = unimol_dir
+        config.using_ct = using_ct
+        config.using_infonce = using_infonce
+        config.cache_dir_train = cache_dir_train
+        config.cache_dir_test = cache_dir_test
+        config.use_weight = use_weight
+        config.all_weight = all_weight
+        config.alpha = alpha
+        config.beta = beta
+        config.raw_data = raw_data
+        config.fds = fds
+        config.lds = lds
+        config.seed = seed
+        config.use_scaler = use_scaler
+        config.fds_num = fds_num
+        config.fds_raw_path = fds_raw_path
+        config.fds_col_data = (
+            fds_col_data if fds_col_data != "" else (target_cols[0] if target_cols else "")
+        )
+        config.ct_w = ct_w
+        config.ct_lamda = ct_lamda
+        config.update_from(params)
+        self.save_path = save_path
+        self.config = config
+
+    # ------------------------------------------------------------------
+    def fit(self, data_train, data_val):
+        """Fit on a training CSV/dict/list with a held-out validation set."""
+        self.datahub = DataHub(
+            data=data_train, is_train=True, save_path=self.save_path, **self.config
+        )
+        self.datahub_1 = DataHub(
+            data=data_val, is_train=False, save_path=self.save_path, **self.config
+        )
+        self.data_train = self.datahub.data
+        self.data_test = self.datahub_1.data
+        self.update_and_save_config()
+        self.trainer = Trainer(save_path=self.save_path, **self.config)
+        self.model = NNModel(self.data_train, self.data_test, self.trainer, **self.config)
+        self.model.run()
+
+        scaler = self.data_train["target_scaler"]
+        y_pred = self.model.cv["pred"]
+        y_true = np.array(self.data_train["target"])
+        if scaler is not None and scaler.scaler is not None:
+            y_pred = scaler.inverse_transform(y_pred)
+            y_true = scaler.inverse_transform(y_true)
+        if self.config["task"] in ["classification", "multilabel_classification"]:
+            threshold = 0.5
+            joblib.dump(threshold, os.path.join(self.save_path, "threshold.dat"))
+        self.cv_pred = y_pred
+        return self
+
+    def update_and_save_config(self):
+        self.config["num_classes"] = self.data_train["num_classes"]
+        self.config["target_cols"] = ",".join(self.data_train["target_cols"])
+        if self.config["task"] == "multiclass":
+            self.config["multiclass_cnt"] = self.data_train["multiclass_cnt"]
+        self.config["split_method"] = self.config.get("split_method", "5fold_random")
+        if self.save_path is not None:
+            if not os.path.exists(self.save_path):
+                logger.info("Create output directory: %s", self.save_path)
+                os.makedirs(self.save_path)
+            else:
+                logger.info("Output directory already exists: %s (overwriting)", self.save_path)
+            save_yaml(self.config, os.path.join(self.save_path, "config.yaml"))

@@ -1,0 +1,112 @@
+"""Bidirectional BERT cross-attention fusion (flax).
+
+Capability twin of the live BertCrossEncoder stack
+(/root/reference/models/mm_module.py:470-677) and CrossAttentionModel
+(/root/reference/models/mm_model.py:379-406): Q from stream-1, K/V from
+stream-2, additive -10000 mask over stream-2, post-LN residual blocks with a
+GELU FFN; two such encoders run in both directions with dropout on both
+streams first.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmdti_tpu.configs.architectures import CrossModalConfig
+from mmdti_tpu.models.layers import bert_normal_init, get_activation_fn
+from mmdti_tpu.ops.attention import cross_attention_xla
+
+_MASK_FILL = -10000.0
+
+
+class BertCrossAttentionLayer(nn.Module):
+    cfg: CrossModalConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s1, s2, s2_mask_bias, deterministic: bool = True):
+        cfg = self.cfg
+        B, N1, E = s1.shape
+        H = cfg.num_attention_heads
+        D = E // H
+
+        def heads(t):
+            return t.reshape(B, -1, H, D).transpose(0, 2, 1, 3)
+
+        q = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="query")(s1))
+        k = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="key")(s2))
+        v = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="value")(s2))
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and cfg.attention_probs_dropout_prob > 0)
+            else None
+        )
+        ctx = cross_attention_xla(
+            q, k, v, s2_mask_bias,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=rng, deterministic=deterministic,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N1, E)
+
+        # self-output block: dense -> dropout -> LN(residual)
+        ctx = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_output")(ctx)
+        ctx = nn.Dropout(cfg.hidden_dropout_prob)(ctx, deterministic=deterministic)
+        attn_out = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_LayerNorm"
+        )((ctx + s1).astype(jnp.float32)).astype(self.dtype)
+
+        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                         kernel_init=bert_normal_init(), name="intermediate")(attn_out)
+        inter = get_activation_fn(cfg.hidden_act)(inter)
+        out = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="output")(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="output_LayerNorm"
+        )((out + attn_out).astype(jnp.float32)).astype(self.dtype)
+
+
+class BertCrossEncoder(nn.Module):
+    cfg: CrossModalConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s1, s2, s2_mask_bias, deterministic: bool = True):
+        x = s1
+        for i in range(self.cfg.num_layers):
+            x = BertCrossAttentionLayer(self.cfg, dtype=self.dtype, name=f"layer_{i}")(
+                x, s2, s2_mask_bias, deterministic=deterministic
+            )
+        return x
+
+
+class CrossAttentionModel(nn.Module):
+    """Both directions.  Argument roles follow the reference *call site*
+    (models/mm_model.py:571): stream_a = 3D-graph token stream with its mask,
+    stream_b = SMILES token stream with its mask.  Returns
+    (a_attends_to_b [B,Na,E], b_attends_to_a [B,Nb,E])."""
+
+    cfg: CrossModalConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, stream_a, stream_b, a_mask, b_mask, deterministic: bool = True):
+        cfg = self.cfg
+        drop = nn.Dropout(cfg.hidden_dropout_prob)
+        stream_a = drop(stream_a, deterministic=deterministic)
+        stream_b = drop(stream_b, deterministic=deterministic)
+
+        def mask_bias(mask):
+            return (1.0 - mask[:, None, None, :].astype(jnp.float32)) * _MASK_FILL
+
+        # stream-b queries attend over stream-a keys (mask on a)
+        b_to_a = BertCrossEncoder(cfg, dtype=self.dtype, name="graph_attention")(
+            stream_b, stream_a, mask_bias(a_mask), deterministic=deterministic
+        )
+        # stream-a queries attend over stream-b keys (mask on b)
+        a_to_b = BertCrossEncoder(cfg, dtype=self.dtype, name="text_attention")(
+            stream_a, stream_b, mask_bias(b_mask), deterministic=deterministic
+        )
+        return a_to_b, b_to_a

@@ -1,0 +1,37 @@
+"""Gaussian distance-kernel pair features.
+
+Flax re-design of the reference GaussianLayer
+(/root/reference/models/mm_model.py:211-269): per-edge-type affine transform
+of the pairwise distance, expanded through K Gaussian kernels (pdf with the
+reference's pi=3.14159 constant), all in fp32.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_SQRT_2PI = (2 * 3.14159) ** 0.5
+
+
+def gaussian_pdf(x, mean, std):
+    return jnp.exp(-0.5 * (((x - mean) / std) ** 2)) / (_SQRT_2PI * std)
+
+
+class GaussianLayer(nn.Module):
+    kernels: int = 128          # K
+    edge_types: int = 1024
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray, edge_type: jnp.ndarray) -> jnp.ndarray:
+        """dist [B,N,N] fp32, edge_type [B,N,N] int -> [B,N,N,K] fp32."""
+        means = self.param("means", nn.initializers.uniform(scale=3.0), (self.kernels,))
+        stds = self.param("stds", nn.initializers.uniform(scale=3.0), (self.kernels,))
+        mul = self.param("mul", nn.initializers.ones, (self.edge_types, 1))
+        bias = self.param("bias", nn.initializers.zeros, (self.edge_types, 1))
+
+        m = jnp.take(mul, edge_type, axis=0)   # [B,N,N,1]
+        b = jnp.take(bias, edge_type, axis=0)  # [B,N,N,1]
+        x = m * dist.astype(jnp.float32)[..., None] + b         # [B,N,N,1]
+        std = jnp.abs(stds).astype(jnp.float32) + 1e-5
+        return gaussian_pdf(x, means.astype(jnp.float32), std)   # broadcast -> [B,N,N,K]

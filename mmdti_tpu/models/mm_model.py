@@ -1,0 +1,186 @@
+"""MM-DTI flagship model (flax): multimodal molecular property prediction.
+
+Capability twin of the reference MM_Model (/root/reference/models/mm_model.py:408-618):
+
+  atom tokens --embed--> Uni-Mol encoder biased by Gaussian(distance, edge_type)
+  SMILES ids  --------> ChemBERTa (RoBERTa) encoder
+  InfoNCE aligns the two pooled projection streams
+  bidirectional BERT cross-attention fuses the token streams
+  masked concat-mean pooling -> (optional FDS smoothing) -> MLP head
+
+Differences by design (TPU-first):
+  * one forward returns a dict (logits, pooled features, InfoNCE loss, reps)
+    instead of flag-dependent tuples — the jit'd train step selects what it
+    needs and XLA dead-code-eliminates the rest;
+  * FDS state is an explicit argument (functional), not module buffers;
+  * bf16 compute dtype with fp32 LayerNorm/softmax instead of fp16 AMP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmdti_tpu.configs.architectures import (
+    ChemBertaConfig,
+    CrossModalConfig,
+    FDSConfig,
+    UniMolEncoderConfig,
+)
+from mmdti_tpu.losses.fds import fds_smooth
+from mmdti_tpu.losses.infonce import InfoNCE
+from mmdti_tpu.models.chemberta import ChemBerta
+from mmdti_tpu.models.crossmodal import CrossAttentionModel
+from mmdti_tpu.models.gaussian import GaussianLayer
+from mmdti_tpu.models.layers import ClassificationHead, NonLinearHead, bert_normal_init
+from mmdti_tpu.models.unimol import UniMolEncoder
+
+
+class MMModel(nn.Module):
+    unimol_cfg: UniMolEncoderConfig
+    chemberta_cfg: ChemBertaConfig
+    cross_cfg: CrossModalConfig
+    fds_cfg: FDSConfig
+    output_dim: int = 1
+    atom_vocab_size: int = 35
+    atom_pad_idx: int = 1
+    task: str = "regression"
+    use_fds: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        src_tokens: jnp.ndarray,       # [B,N] int atom tokens
+        src_distance: jnp.ndarray,     # [B,N,N] fp32
+        src_edge_type: jnp.ndarray,    # [B,N,N] int
+        input_ids: jnp.ndarray,        # [B,L] int SMILES tokens
+        attention_mask: jnp.ndarray,   # [B,L] {0,1}
+        deterministic: bool = True,
+        fds_state: Optional[Dict[str, jnp.ndarray]] = None,
+        net_target: Optional[jnp.ndarray] = None,
+        epoch: float = 0.0,
+        fds_bucket: Tuple[float, float] = (0.0, 1.0),
+        **_,
+    ) -> Dict[str, Any]:
+        ucfg = self.unimol_cfg
+        padding_mask = src_tokens == self.atom_pad_idx
+        atom_mask = (~padding_mask).astype(jnp.int32)
+
+        # --- 3D stream -------------------------------------------------------
+        x = nn.Embed(
+            self.atom_vocab_size, ucfg.embed_dim, dtype=self.dtype,
+            embedding_init=bert_normal_init(), name="embed_tokens",
+        )(src_tokens)
+        gbf_feat = GaussianLayer(
+            kernels=ucfg.gaussian_kernels,
+            edge_types=self.atom_vocab_size * self.atom_vocab_size,
+            name="gbf",
+        )(src_distance, src_edge_type)                       # [B,N,N,K] fp32
+        bias = NonLinearHead(
+            ucfg.attention_heads, ucfg.activation_fn, dtype=self.dtype, name="gbf_proj"
+        )(gbf_feat.astype(self.dtype))                        # [B,N,N,H]
+        bias = jnp.transpose(bias, (0, 3, 1, 2)).astype(jnp.float32)
+
+        enc = UniMolEncoder(
+            ucfg, dtype=self.dtype, use_pallas=self.use_pallas, name="encoder"
+        )(x, bias, padding_mask, deterministic=deterministic)
+        encoder_rep = enc["rep"]                              # [B,N,E]
+
+        # --- SMILES stream ---------------------------------------------------
+        bert_rep = ChemBerta(self.chemberta_cfg, dtype=self.dtype, name="bert")(
+            input_ids, attention_mask, deterministic=deterministic
+        )                                                     # [B,L,E]
+
+        # --- cross-modal alignment (InfoNCE) ----------------------------------
+        infonce_loss = InfoNCE(dtype=self.dtype, name="infonce")(
+            encoder_rep, bert_rep, deterministic=deterministic
+        )
+
+        # --- fusion ------------------------------------------------------------
+        a_to_b, b_to_a = CrossAttentionModel(self.cross_cfg, dtype=self.dtype,
+                                             name="cross_modal_module")(
+            encoder_rep, bert_rep, atom_mask, attention_mask,
+            deterministic=deterministic,
+        )
+        a_to_b = a_to_b * atom_mask[..., None].astype(a_to_b.dtype)
+        b_to_a = b_to_a * attention_mask[..., None].astype(b_to_a.dtype)
+        fused = jnp.concatenate([a_to_b, b_to_a], axis=1)     # [B, N+L, E]
+        denom = (
+            atom_mask.sum(axis=1, keepdims=True) + attention_mask.sum(axis=1, keepdims=True)
+        ).astype(jnp.float32)
+        pooled = fused.sum(axis=1).astype(jnp.float32) / denom  # [B,E] fp32
+
+        # --- FDS smoothing (train-time, regression) ----------------------------
+        head_in = pooled
+        if (
+            self.use_fds
+            and self.task == "regression"
+            and fds_state is not None
+            and net_target is not None
+            and not deterministic
+        ):
+            head_in = fds_smooth(
+                fds_state, pooled, net_target, epoch,
+                fds_bucket[0], fds_bucket[1], self.fds_cfg,
+            )
+
+        logits = ClassificationHead(
+            inner_dim=ucfg.embed_dim,
+            num_classes=self.output_dim,
+            activation_fn=ucfg.pooler_activation_fn,
+            pooler_dropout=ucfg.pooler_dropout,
+            dtype=self.dtype,
+            name="classification_head",
+        )(head_in.astype(self.dtype), deterministic=deterministic)
+
+        return {
+            "logits": logits.astype(jnp.float32),
+            "pooled": pooled,                        # pre-smoothing (CT input)
+            "infonce_loss": infonce_loss,
+            "encoder_rep": encoder_rep,
+            "bert_rep": bert_rep,
+            "cls_repr": encoder_rep[:, 0, :],
+            "atom_mask": atom_mask,
+            "pair_logits": enc["pair_logits"],
+            "x_norm": enc["x_norm"],
+            "delta_pair_repr_norm": enc["delta_pair_repr_norm"],
+        }
+
+
+def build_model(
+    output_dim: int,
+    atom_vocab_size: int,
+    atom_pad_idx: int,
+    task: str,
+    smiles_vocab_size: int,
+    use_fds: bool = False,
+    fds_num: int = 20,
+    compute_dtype: str = "float32",
+    use_pallas: bool = False,
+    unimol_overrides: Optional[dict] = None,
+    chemberta_overrides: Optional[dict] = None,
+) -> MMModel:
+    """Assemble the flagship model from task-level options."""
+    import dataclasses
+
+    ucfg = UniMolEncoderConfig(**(unimol_overrides or {}))
+    ccfg = ChemBertaConfig(vocab_size=smiles_vocab_size, **(chemberta_overrides or {}))
+    xcfg = CrossModalConfig(hidden_size=ucfg.embed_dim)
+    fcfg = dataclasses.replace(FDSConfig(), bucket_num=fds_num, feature_dim=ucfg.embed_dim)
+    return MMModel(
+        unimol_cfg=ucfg,
+        chemberta_cfg=ccfg,
+        cross_cfg=xcfg,
+        fds_cfg=fcfg,
+        output_dim=output_dim,
+        atom_vocab_size=atom_vocab_size,
+        atom_pad_idx=atom_pad_idx,
+        task=task,
+        use_fds=use_fds,
+        dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
+        use_pallas=use_pallas,
+    )

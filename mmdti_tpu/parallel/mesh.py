@@ -1,0 +1,98 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (/root/reference/tasks/trainer.py:64-65, SURVEY
+§2.4); distributed execution here is new TPU-native capability: a
+('data', 'model') mesh where batches shard over 'data' (gradients all-reduced
+over ICI by XLA) and, optionally, attention-head/FFN weights shard over
+'model' (tensor parallelism).  Because the train step is jit'd over global
+arrays, the InfoNCE / CT in-batch similarity matrices and FDS bucket
+statistics automatically keep *global-batch* semantics — XLA inserts the
+all-gathers/psums (SURVEY §2.4 items 2-3).
+
+Multi-host: call jax.distributed.initialize() before building the mesh; each
+host feeds its local shard via make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
+    """mesh_shape = (data, model); default all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if mesh_shape is None:
+        mesh_shape = (len(devices), 1)
+    d, m = mesh_shape
+    if d * m != len(devices):
+        raise ValueError(f"mesh shape {mesh_shape} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(d, m)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put every array with the leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
+
+
+# ---- tensor-parallel parameter partitioning rules ---------------------------
+# Applied by path-suffix matching on the flattened param tree.  Dense kernels
+# are [in, out]; sharding the out dim of fc1/qkv and the in dim of fc2/out_proj
+# keeps activations sharded by head across the 'model' axis.
+TP_RULES: Sequence[Tuple[Tuple[str, ...], P]] = (
+    (("in_proj", "kernel"), P(None, MODEL_AXIS)),
+    (("out_proj", "kernel"), P(MODEL_AXIS, None)),
+    (("fc1", "kernel"), P(None, MODEL_AXIS)),
+    (("fc2", "kernel"), P(MODEL_AXIS, None)),
+    (("intermediate", "kernel"), P(None, MODEL_AXIS)),
+    (("output", "kernel"), P(MODEL_AXIS, None)),
+    (("attn_query", "kernel"), P(None, MODEL_AXIS)),
+    (("attn_key", "kernel"), P(None, MODEL_AXIS)),
+    (("attn_value", "kernel"), P(None, MODEL_AXIS)),
+    (("attn_output", "kernel"), P(MODEL_AXIS, None)),
+    (("query", "kernel"), P(None, MODEL_AXIS)),
+    (("key", "kernel"), P(None, MODEL_AXIS)),
+    (("value", "kernel"), P(None, MODEL_AXIS)),
+)
+
+
+def param_sharding(mesh: Mesh, params) -> object:
+    """NamedSharding tree for params: TP rules over 'model', else replicated.
+
+    With mesh model-dim 1 this is full replication (pure DP)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path) -> P:
+        keys = tuple(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path
+        )
+        if mesh.shape[MODEL_AXIS] > 1:
+            for suffix, spec in TP_RULES:
+                if keys[-len(suffix):] == suffix:
+                    return spec
+        return P()
+
+    specs = {path: NamedSharding(mesh, spec_for(path)) for path, _ in flat}
+    leaves = [specs[path] for path, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

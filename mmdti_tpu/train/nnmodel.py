@@ -1,0 +1,234 @@
+"""Task-level model orchestration.
+
+Capability twin of the reference NNModel (/root/reference/models/nnmodel.py:52-287):
+resolves the per-task loss / activation / output-dim registries, builds the
+flagship model (+ tokenizer + atom dictionary), initializes or loads
+parameters (pretrained Uni-Mol / ChemBERTa ingestion), applies name-prefix
+layer freezing, prepares FDS state, and drives Trainer.fit_predict / predict.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from mmdti_tpu.chem.dictionary import Dictionary
+from mmdti_tpu.chem.tokenizer import load_tokenizer
+from mmdti_tpu.data.batching import BatchCollator, MolDataset, dataset_pad_lengths
+from mmdti_tpu.losses.fds import fds_bucket_params, fds_kernel_window, init_fds_state
+from mmdti_tpu.losses.registry import (
+    ACTIVATION_REGISTRY,
+    resolve_loss,
+    resolve_output_dim,
+)
+from mmdti_tpu.models.convert import load_pretrained
+from mmdti_tpu.models.mm_model import build_model
+from mmdti_tpu.train.trainer import Trainer, load_checkpoint
+from mmdti_tpu.utils.logger import logger
+
+
+def _unfreeze_dict(tree):
+    if isinstance(tree, dict):
+        return {k: _unfreeze_dict(v) for k, v in tree.items()}
+    return tree
+
+
+class NNModel:
+    def __init__(self, data_train: Dict[str, Any], data_test: Dict[str, Any], trainer: Trainer, **params):
+        self.data_train = data_train
+        self.data_test = data_test
+        self.trainer = trainer
+        self.task = params["task"]
+        self.num_classes = data_train.get("num_classes")
+        self.target_scaler = data_train.get("target_scaler")
+        self.features_train = data_train["unimol_input"]
+        self.features_test = data_test["unimol_input"]
+        self.loss_key = params.get("loss_key", None)
+        self.using_ct = params.get("using_ct", False)
+        self.using_infonce = params.get("using_infonce", False)
+        self.use_weight = params.get("use_weight", False)
+        self.use_fds = params.get("fds", False)
+        self.fds_num = params.get("fds_num", 30)
+        self.save_path = trainer.save_path
+        self.cv: Dict[str, Any] = {}
+
+        # dictionaries / tokenizer ------------------------------------------------
+        unimol_dir = params.get("unimol_dir", "") or ""
+        dict_path = None
+        if unimol_dir:
+            cand = os.path.join(os.path.dirname(unimol_dir), "mol.dict.txt")
+            dict_path = cand if os.path.exists(cand) else None
+        self.dictionary = Dictionary.load(dict_path)
+        self.dictionary.add_symbol("[MASK]", is_special=True)
+        self.tokenizer = load_tokenizer(params.get("chemberta_dir", "") or None)
+
+        # output dim / losses -----------------------------------------------------
+        self.output_dim = resolve_output_dim(
+            self.task, self.num_classes, data_train.get("multiclass_cnt")
+        )
+        self.loss_func = resolve_loss(self.task, self.loss_key)
+        self.activation_fn = ACTIVATION_REGISTRY[self.task]
+
+        # static pad shapes across train+test (one XLA compilation) ---------------
+        pad_multiple = int(params.get("pad_multiple", 16))
+        self.atom_pad, self.smiles_pad = dataset_pad_lengths(
+            self.features_train, self.tokenizer, pad_multiple,
+            extra_datasets=[self.features_test],
+        )
+        self.collator = BatchCollator(
+            self.tokenizer,
+            pad_idx=self.dictionary.pad(),
+            pad_mode=params.get("pad_mode", "dataset"),
+            atom_pad=self.atom_pad,
+            smiles_pad=self.smiles_pad,
+        )
+
+        # model --------------------------------------------------------------------
+        use_pallas = params.get("use_pallas", "auto")
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        self.model = build_model(
+            output_dim=self.output_dim,
+            atom_vocab_size=len(self.dictionary),
+            atom_pad_idx=self.dictionary.pad(),
+            task=self.task,
+            smiles_vocab_size=getattr(self.tokenizer, "vocab_size", 600),
+            use_fds=self.use_fds,
+            fds_num=self.fds_num,
+            compute_dtype=params.get("compute_dtype", "bfloat16"),
+            use_pallas=bool(use_pallas),
+            unimol_overrides=dict(params["unimol_overrides"]) if params.get("unimol_overrides") else None,
+            chemberta_overrides=dict(params["chemberta_overrides"]) if params.get("chemberta_overrides") else None,
+        )
+        self.params = self._init_params(params)
+        n_params = sum(x.size for x in jax.tree.leaves(self.params))
+        logger.info("Number of trainable parameters: %d", n_params)
+
+        # freezing ------------------------------------------------------------------
+        self.frozen_mask = self._build_frozen_mask(
+            params.get("freeze_layers"), params.get("freeze_layers_reversed", False),
+            params.get("freeze_module"),
+        )
+
+        # FDS -----------------------------------------------------------------------
+        self.fds_state = None
+        self.fds_bucket = (0.0, 1.0)
+        self.fds_kernel = None
+        if self.use_fds and self.task == "regression":
+            raw_path = params.get("fds_raw_path", "") or params.get("raw_data", "")
+            col = params.get("fds_col_data", "") or (data_train["target_cols"][0])
+            if raw_path and os.path.exists(raw_path):
+                raw_vals = pd.read_csv(raw_path)[col].values
+            else:
+                raw_vals = np.asarray(data_train["raw_target"]).reshape(-1)
+            self.fds_bucket = fds_bucket_params(
+                raw_vals, self.fds_num, using_scale=params.get("use_scaler", True)
+            )
+            self.fds_state = init_fds_state(self.model.fds_cfg)
+            self.fds_kernel = fds_kernel_window(
+                self.model.fds_cfg.kernel, self.model.fds_cfg.ks, self.model.fds_cfg.sigma
+            )
+
+    # ------------------------------------------------------------------
+    def _dummy_batch(self):
+        sample = [(self.features_train[0], np.zeros(max(1, self.output_dim)))]
+        batch, _ = self.collator(sample)
+        return {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k in ("src_tokens", "src_distance", "src_edge_type", "input_ids", "attention_mask")
+        }
+
+    def _init_params(self, params):
+        rng = jax.random.PRNGKey(self.trainer.seed)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, **self._dummy_batch(), deterministic=True
+        )
+        tree = _unfreeze_dict(jax.tree.map(np.asarray, variables["params"]))
+        tree = load_pretrained(
+            tree,
+            unimol_dir=params.get("unimol_dir") or None,
+            chemberta_dir=params.get("chemberta_dir") or None,
+        )
+        return tree
+
+    def _build_frozen_mask(self, freeze_layers, reversed_sel: bool, freeze_module):
+        prefixes = []
+        if isinstance(freeze_layers, str):
+            prefixes = [p for p in freeze_layers.replace(" ", "").split(",") if p]
+        elif isinstance(freeze_layers, list):
+            prefixes = list(freeze_layers)
+        modules = []
+        if isinstance(freeze_module, str):
+            modules = [m for m in freeze_module.replace(" ", "").split(",") if m]
+        elif isinstance(freeze_module, list):
+            modules = list(freeze_module)
+        if not prefixes and not modules:
+            return None
+
+        def frozen(path) -> bool:
+            name = ".".join(str(getattr(p, "key", p)) for p in path)
+            hit = any(name.startswith(pref) for pref in prefixes)
+            if reversed_sel:
+                hit = not hit
+            if modules and name.split(".")[0] in modules:
+                hit = True
+            return hit
+
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        leaves = [frozen(path) for path, _ in flat]
+        treedef = jax.tree_util.tree_structure(self.params)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        logger.info("start training MM-DTI TPU model")
+        y_train = np.asarray(self.data_train["target"])
+        y_valid = np.asarray(self.data_test["target"])
+        traindataset = MolDataset(self.features_train, y_train)
+        validdataset = MolDataset(self.features_test, y_valid)
+
+        y_pred = self.trainer.fit_predict(
+            self.model, self.params, traindataset, validdataset,
+            self.loss_func, self.activation_fn, self.save_path, 0, self.target_scaler,
+            self.collator,
+            use_infonce=self.using_infonce,
+            use_ct=self.using_ct,
+            use_weight=self.use_weight,
+            fds_state=self.fds_state,
+            fds_bucket=self.fds_bucket,
+            fds_kernel=self.fds_kernel,
+            fds_start_update=self.model.fds_cfg.start_update if self.fds_state is not None else 0,
+            frozen_mask=self.frozen_mask,
+        )
+
+        label_cnt = self.data_train.get("multiclass_cnt")
+        scaler = self.target_scaler
+        if scaler is not None and scaler.scaler is not None:
+            score = self.trainer.metrics.cal_metric(
+                scaler.inverse_transform(y_valid), scaler.inverse_transform(y_pred),
+                label_cnt=label_cnt,
+            )
+        else:
+            score = self.trainer.metrics.cal_metric(y_valid, y_pred, label_cnt=label_cnt)
+        logger.info("fold 0, result %s", score)
+        self.cv["pred"] = y_pred
+        return y_pred
+
+    def evaluate(self, trainer: Optional[Trainer] = None, checkpoints_path: Optional[str] = None):
+        logger.info("start predict MM-DTI TPU model")
+        trainer = trainer or self.trainer
+        testdataset = MolDataset(self.features_test, np.asarray(self.data_test["target"]))
+        ckpt = load_checkpoint(checkpoints_path, 0)
+        self.params = ckpt["params"]
+        y_pred, _, _ = trainer.predict(
+            self.model, self.params, testdataset, self.loss_func, self.activation_fn,
+            checkpoints_path, 0, self.target_scaler, self.collator, load_model=True,
+        )
+        self.cv["test_pred"] = y_pred
+        return y_pred

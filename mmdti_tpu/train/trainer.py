@@ -1,0 +1,405 @@
+"""Training orchestration: jit'd data-parallel train/eval steps.
+
+Capability twin of the reference Trainer (/root/reference/tasks/trainer.py:29-556)
+re-designed TPU-first:
+  * one jit'd train step (forward + loss + grad + Adam update) compiled once
+    thanks to static-shape batches; epoch enters as a traced scalar;
+  * loss = alpha * task + beta * infonce + beta * ct with the same 4-way flag
+    semantics (trainer.py:183-237); validation disables the contrastive terms
+    (trainer.py:427-428);
+  * bf16 matmuls + fp32 params instead of fp16 GradScaler; grad clipped at
+    max_norm always (the reference clips only on its AMP path);
+  * FDS epoch pass stays on device: pooled features collected by a jit'd
+    eval-mode sweep, running stats updated with segment ops in HBM
+    (no numpy round-trip, unlike trainer.py:288-306);
+  * batches are sharded over the mesh 'data' axis; XLA all-reduces gradients
+    over ICI and all-gathers the contrastive similarity inputs, preserving
+    global-batch semantics;
+  * early stop on val loss or the first metric, best checkpoint saved as
+    msgpack (model_{fold}.ckpt).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmdti_tpu.data.batching import MolDataLoader
+from mmdti_tpu.losses.contrastive import CT_REGISTRY
+from mmdti_tpu.losses.fds import (
+    fds_update_last_epoch_stats,
+    fds_update_running_stats,
+)
+from mmdti_tpu.losses.registry import target_is_integer
+from mmdti_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from mmdti_tpu.train.optim import make_optimizer
+from mmdti_tpu.utils.logger import logger
+from mmdti_tpu.utils.metrics import Metrics
+
+_FEATURE_KEYS = ("src_tokens", "src_distance", "src_edge_type", "input_ids", "attention_mask")
+
+
+def checkpoint_path(dump_dir: str, fold: int) -> str:
+    return os.path.join(dump_dir, f"model_{fold}.ckpt")
+
+
+def save_checkpoint(dump_dir: str, fold: int, params, fds_state=None) -> None:
+    os.makedirs(dump_dir, exist_ok=True)
+    blob = flax.serialization.msgpack_serialize(
+        {
+            "params": jax.tree.map(np.asarray, params),
+            "fds": jax.tree.map(np.asarray, fds_state) if fds_state is not None else {},
+        }
+    )
+    with open(checkpoint_path(dump_dir, fold), "wb") as f:
+        f.write(blob)
+
+
+def load_checkpoint(dump_dir: str, fold: int) -> Dict[str, Any]:
+    with open(checkpoint_path(dump_dir, fold), "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+class Trainer:
+    def __init__(self, save_path: Optional[str] = None, **params):
+        self.save_path = save_path
+        self.task = params.get("task", None)
+        self.metrics_str = params.get("metrics", "none")
+        self.metrics = Metrics(self.task, self.metrics_str) if self.task != "repr" else None
+        self.seed = params.get("seed", 42)
+        np.random.seed(self.seed)
+        self.learning_rate = float(params.get("learning_rate", 1e-4))
+        self.batch_size = int(params.get("batch_size", 32))
+        self.max_epochs = int(params.get("epochs", params.get("max_epochs", 50)))
+        self.warmup_ratio = float(params.get("warmup_ratio", 0.1))
+        self.patience = int(params.get("patience", 10))
+        self.max_norm = float(params.get("max_norm", 1.0))
+        self.alpha = float(params.get("alpha", 1))
+        self.beta = float(params.get("beta", 0.1))
+        self.fds = params.get("fds", False)
+        self.ct_w = float(params.get("ct_w", 0.2))
+        mesh_shape = params.get("mesh_shape", None)
+        self.mesh = params.get("mesh", None) or make_mesh(
+            tuple(mesh_shape) if mesh_shape else None
+        )
+        self._compiled: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------
+    def _split_batch(self, batch: Dict[str, np.ndarray]):
+        feats = {k: batch[k] for k in _FEATURE_KEYS if k in batch}
+        weights = batch.get("weights")
+        return feats, weights
+
+    def _pad_to_batch(self, batch, labels):
+        """Pad a trailing partial batch up to batch_size (static shapes)."""
+        n = labels.shape[0]
+        if n == self.batch_size:
+            return batch, labels, n
+        reps = self.batch_size - n
+
+        def pad(x):
+            return np.concatenate([x, np.repeat(x[-1:], reps, axis=0)], axis=0)
+
+        return jax.tree.map(pad, batch), pad(labels), n
+
+    def _labels_device(self, labels: np.ndarray):
+        if target_is_integer(self.task):
+            return jnp.asarray(labels, jnp.int32)
+        return jnp.asarray(labels, jnp.float32)
+
+    # ------------------------------------------------------------------
+    def build_train_step(
+        self,
+        model,
+        tx,
+        loss_fn,
+        use_infonce: bool,
+        use_ct: bool,
+        use_weight: bool,
+        fds_bucket=(0.0, 1.0),
+    ):
+        ct_fn = CT_REGISTRY.get(self.task) if use_ct else None
+        alpha, beta, ct_w = self.alpha, self.beta, self.ct_w
+
+        def loss_inner(params, fds_state, feats, labels, weights, epoch, rng):
+            out = model.apply(
+                {"params": params},
+                **feats,
+                deterministic=False,
+                fds_state=fds_state,
+                net_target=labels.astype(jnp.float32),
+                epoch=epoch,
+                fds_bucket=fds_bucket,
+                rngs={"dropout": rng},
+            )
+            task_loss = loss_fn(out["logits"], labels)
+            total = alpha * task_loss
+            infonce = out["infonce_loss"]
+            if use_infonce:
+                total = total + beta * infonce
+            if ct_fn is not None:
+                ct = ct_fn(
+                    out["pooled"], labels, out["logits"],
+                    weights=weights if use_weight else None, w=ct_w,
+                )
+                total = total + beta * ct
+            else:
+                ct = jnp.zeros(())
+            return total, {"loss": total, "m_loss": task_loss,
+                           "infonce_loss": infonce, "ct_loss": ct}
+
+        grad_fn = jax.value_and_grad(loss_inner, has_aux=True)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, fds_state, feats, labels, weights, epoch, rng):
+            (_, metrics), grads = grad_fn(params, fds_state, feats, labels, weights, epoch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, metrics
+
+        return train_step
+
+    def build_eval_step(self, model, loss_fn, activation_fn):
+        alpha = self.alpha
+
+        @jax.jit
+        def eval_step(params, feats, labels):
+            out = model.apply({"params": params}, **feats, deterministic=True)
+            preds = activation_fn(out["logits"])
+            return preds, alpha * loss_fn(out["logits"], labels), out["pooled"], out["cls_repr"]
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    def fit_predict(
+        self,
+        model,
+        params,
+        train_dataset,
+        valid_dataset,
+        loss_fn,
+        activation_fn,
+        dump_dir: str,
+        fold: int,
+        target_scaler,
+        collate_fn,
+        use_infonce: bool = False,
+        use_ct: bool = False,
+        use_weight: bool = False,
+        fds_state=None,
+        fds_bucket=(0.0, 1.0),
+        fds_kernel=None,
+        fds_start_update: int = 0,
+        frozen_mask=None,
+    ):
+        train_loader = MolDataLoader(
+            train_dataset, self.batch_size, collate_fn,
+            shuffle=True, drop_last=True, seed=self.seed,
+        )
+        steps_per_epoch = len(train_loader)
+        if steps_per_epoch == 0:
+            raise ValueError(
+                f"train set ({len(train_dataset)}) smaller than batch size {self.batch_size}"
+            )
+        num_training_steps = steps_per_epoch * self.max_epochs
+        tx, _ = make_optimizer(
+            self.learning_rate, num_training_steps, self.warmup_ratio, self.max_norm,
+            frozen_mask=frozen_mask,
+        )
+        params = replicate(self.mesh, params)
+        opt_state = tx.init(params)
+        if fds_state is not None:
+            fds_state = replicate(self.mesh, fds_state)
+
+        train_step = self.build_train_step(
+            model, tx, loss_fn, use_infonce, use_ct, use_weight, fds_bucket
+        )
+        eval_step = self.build_eval_step(model, loss_fn, activation_fn)
+
+        base_rng = jax.random.PRNGKey(self.seed)
+        min_val_loss = float("inf")
+        best_score = self.metrics.initial_best() if self.metrics else None
+        use_metric_stop = isinstance(self.metrics_str, str) and self.metrics_str not in (
+            "loss", "none", "",
+        )
+        wait = 0
+        global_step = 0
+
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            epoch_metrics = []
+            for batch, labels in train_loader:
+                feats, weights = self._split_batch(batch)
+                feats = shard_batch(self.mesh, feats)
+                bsh = batch_sharding(self.mesh)
+                labels_d = jax.device_put(self._labels_device(labels), bsh)
+                w_d = (
+                    jax.device_put(jnp.asarray(weights, jnp.float32), bsh)
+                    if weights is not None
+                    else jnp.ones((labels.shape[0], 1), jnp.float32)
+                )
+                rng = jax.random.fold_in(base_rng, global_step)
+                params, opt_state, m = train_step(
+                    params, opt_state, fds_state, feats, labels_d, w_d,
+                    jnp.asarray(epoch, jnp.float32), rng,
+                )
+                epoch_metrics.append(m)
+                global_step += 1
+
+            train_means = {
+                k: float(np.mean([jax.device_get(m[k]) for m in epoch_metrics]))
+                for k in epoch_metrics[0]
+            }
+
+            # ---- FDS epoch pass: on-device feature sweep + stats update ----
+            if self.fds and fds_state is not None and epoch >= fds_start_update:
+                feats_list, label_list = [], []
+                for batch, labels in train_loader:
+                    fb, _ = self._split_batch(batch)
+                    fb = shard_batch(self.mesh, fb)
+                    _, _, pooled, _ = eval_step(params, fb, self._labels_device(labels))
+                    feats_list.append(pooled)
+                    label_list.append(jnp.asarray(labels, jnp.float32))
+                all_feats = jnp.concatenate(feats_list, axis=0)
+                all_labels = jnp.concatenate(label_list, axis=0)
+                fds_state = fds_update_last_epoch_stats(
+                    fds_state, jnp.asarray(epoch, jnp.float32), fds_kernel
+                )
+                fds_state = fds_update_running_stats(
+                    fds_state, all_feats, all_labels, jnp.asarray(epoch, jnp.float32),
+                    fds_bucket[0], fds_bucket[1], model.fds_cfg,
+                )
+                logger.info("FDS stats updated on device for epoch %d", epoch)
+
+            # ---- validation --------------------------------------------------
+            y_preds, val_losses, metric_score = self.predict(
+                model, params, valid_dataset, loss_fn, activation_fn,
+                dump_dir, fold, target_scaler, collate_fn,
+                epoch=epoch, load_model=False, eval_step=eval_step,
+            )
+            total_val_loss = float(np.mean(val_losses))
+            first_metric = next(iter(metric_score)) if metric_score else "loss"
+            first_score = metric_score.get(first_metric, float("nan"))
+            logger.info(
+                "Epoch [%d/%d] train_loss: %.4f, m_loss: %.4f, infonce: %.4f, ct: %.4f, "
+                "val_loss: %.4f, val_%s: %.4f, %.1fs",
+                epoch + 1, self.max_epochs, train_means["loss"], train_means["m_loss"],
+                train_means["infonce_loss"], train_means["ct_loss"],
+                total_val_loss, first_metric, first_score, time.time() - t0,
+            )
+
+            # ---- early stop + best checkpoint --------------------------------
+            if use_metric_stop and self.metrics:
+                if self.metrics.is_improvement(first_score, best_score):
+                    best_score = first_score
+                    wait = 0
+                    save_checkpoint(dump_dir, fold, params, fds_state)
+                else:
+                    wait += 1
+            else:
+                if total_val_loss <= min_val_loss:
+                    min_val_loss = total_val_loss
+                    wait = 0
+                    save_checkpoint(dump_dir, fold, params, fds_state)
+                else:
+                    wait += 1
+            if wait >= self.patience:
+                logger.warning("Early stopping at epoch: %d", epoch + 1)
+                break
+
+        # final predict with best weights
+        y_preds, _, _ = self.predict(
+            model, params, valid_dataset, loss_fn, activation_fn,
+            dump_dir, fold, target_scaler, collate_fn, load_model=True,
+        )
+        return y_preds
+
+    # ------------------------------------------------------------------
+    def predict(
+        self,
+        model,
+        params,
+        dataset,
+        loss_fn,
+        activation_fn,
+        dump_dir: str,
+        fold: int,
+        target_scaler=None,
+        collate_fn=None,
+        epoch: int = 1,
+        load_model: bool = False,
+        eval_step=None,
+    ):
+        if load_model:
+            ckpt = load_checkpoint(dump_dir, fold)
+            params = replicate(self.mesh, ckpt["params"])
+            logger.info("load model success!")
+        if eval_step is None:
+            eval_step = self.build_eval_step(model, loss_fn, activation_fn)
+        loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
+
+        y_preds, y_truths, val_losses = [], [], []
+        for batch, labels in loader:
+            batch, labels, valid_n = self._pad_to_batch(batch, labels)
+            feats, _ = self._split_batch(batch)
+            feats = shard_batch(self.mesh, feats)
+            preds, loss, _, _ = eval_step(params, feats, self._labels_device(labels))
+            y_preds.append(np.asarray(jax.device_get(preds))[:valid_n])
+            y_truths.append(labels[:valid_n])
+            if not load_model:
+                val_losses.append(float(jax.device_get(loss)))
+        y_preds = np.concatenate(y_preds)
+        y_truths = np.concatenate(y_truths)
+
+        metric_score = None
+        if not load_model and self.metrics is not None:
+            if self.alpha != 0:
+                if target_scaler is not None and target_scaler.scaler is not None:
+                    inv_p = target_scaler.inverse_transform(y_preds)
+                    inv_t = target_scaler.inverse_transform(y_truths)
+                    metric_score = self.metrics.cal_metric(
+                        inv_t, inv_p, label_cnt=getattr(model, "output_dim", None)
+                        if self.task == "multiclass" else None,
+                    )
+                else:
+                    metric_score = self.metrics.cal_metric(
+                        y_truths, y_preds, label_cnt=getattr(model, "output_dim", None)
+                        if self.task == "multiclass" else None,
+                    )
+            else:
+                metric_score = {"ct_loss": float(np.mean(val_losses)) if val_losses else 0.0}
+        return y_preds, val_losses, metric_score
+
+    # ------------------------------------------------------------------
+    def inference(self, model, params, dataset, collate_fn, return_atomic_reprs: bool = False):
+        """Representation extraction (reference Trainer.inference,
+        tasks/trainer.py:484-522): CLS-token and pooled reprs per molecule."""
+
+        @jax.jit
+        def repr_step(p, feats):
+            out = model.apply({"params": p}, **feats, deterministic=True)
+            return out["cls_repr"], out["pooled"], out["encoder_rep"], out["atom_mask"]
+
+        loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
+        params = replicate(self.mesh, params)
+        result = {"cls_repr": [], "pooled_repr": [], "atomic_reprs": [], "atomic_symbol": []}
+        for batch, labels in loader:
+            batch, labels, valid_n = self._pad_to_batch(batch, labels)
+            feats, _ = self._split_batch(batch)
+            cls_r, pooled, enc, mask = jax.device_get(
+                repr_step(params, shard_batch(self.mesh, feats))
+            )
+            result["cls_repr"].extend(list(cls_r[:valid_n]))
+            result["pooled_repr"].extend(list(pooled[:valid_n]))
+            if return_atomic_reprs:
+                for i in range(valid_n):
+                    n_valid = int(mask[i].sum())
+                    result["atomic_reprs"].append(enc[i, 1 : n_valid - 1])
+        return result
