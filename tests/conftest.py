@@ -1,0 +1,58 @@
+"""Test harness: CPU backend with 8 virtual devices for distributed tests.
+
+Must run before any jax import (SURVEY §4: distributed-without-a-cluster via
+xla_force_host_platform_device_count).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["MMDTI_DISABLE_FILE_LOG"] = "1"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize hook registers the TPU tunnel plugin at interpreter
+# startup and pins jax_platforms via jax.config (which outranks the env var) —
+# re-pin to CPU before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+import pytest  # noqa: E402
+
+SMILES_20 = [
+    "CCO", "CC(=O)O", "c1ccccc1", "Cc1ccccc1", "CC(C)O", "CCCC", "CCN",
+    "c1ccncc1", "CC(=O)Oc1ccccc1C(=O)O", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+    "C1CCCCC1", "O=C1CCCCC1", "CCOC(=O)C", "CCS", "NCCO", "OCC(O)CO",
+    "Clc1ccccc1", "Brc1ccccc1", "FC(F)(F)c1ccccc1", "N#Cc1ccccc1",
+]
+
+SMALL_ARCH = dict(
+    unimol_overrides={
+        "encoder_layers": 2, "embed_dim": 32, "ffn_embed_dim": 64,
+        "attention_heads": 4, "dropout": 0.0, "emb_dropout": 0.0,
+        "attention_dropout": 0.0, "pooler_dropout": 0.0,
+    },
+    chemberta_overrides={
+        "hidden_size": 32, "num_hidden_layers": 1, "num_attention_heads": 2,
+        "intermediate_size": 64, "hidden_dropout_prob": 0.0,
+        "attention_probs_dropout_prob": 0.0,
+    },
+)
+
+
+@pytest.fixture(scope="session")
+def tiny_csv(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    tmp = tmp_path_factory.mktemp("data")
+    df = pd.DataFrame({"smiles": SMILES_20, "measured": rng.randn(len(SMILES_20)) * 2 + 1})
+    train, val = tmp / "train.csv", tmp / "val.csv"
+    df.iloc[:16].to_csv(train, index=False)
+    df.iloc[16:].to_csv(val, index=False)
+    return str(train), str(val), str(tmp)

@@ -1,0 +1,168 @@
+"""Chem stack unit tests: parser, scaffolds, conformers, featurizer, tokenizer."""
+
+import numpy as np
+import pytest
+
+from mmdti_tpu.chem import (
+    Dictionary,
+    SmilesTokenizer,
+    coords2unimol,
+    is_valid_smiles,
+    murcko_scaffold,
+    parse_smiles,
+    smi2coords,
+)
+
+
+class TestParser:
+    @pytest.mark.parametrize(
+        "smi,n_heavy,n_h",
+        [
+            ("CCO", 3, 6),                       # ethanol C2H6O
+            ("c1ccccc1", 6, 6),                  # benzene
+            ("CC(=O)Oc1ccccc1C(=O)O", 13, 8),    # aspirin C9H8O4
+            ("CC(C)Cc1ccc(cc1)C(C)C(=O)O", 15, 18),  # ibuprofen C13H18O2
+            ("N#Cc1ccccc1", 8, 5),               # benzonitrile C7H5N
+            ("O=C1CCCCC1", 7, 10),               # cyclohexanone C6H10O
+            ("[NH4+]", 1, 4),
+            ("C[N+](C)(C)C", 5, 12),             # tetramethylammonium
+        ],
+    )
+    def test_atom_and_h_counts(self, smi, n_heavy, n_h):
+        mol = parse_smiles(smi)
+        assert mol.num_atoms() == n_heavy
+        assert sum(mol.implicit_h(i) for i in range(mol.num_atoms())) == n_h
+
+    @pytest.mark.parametrize("bad", ["C1CC", "C((C)", "XxYy", "", "C)", "[Qq]", "C%1"])
+    def test_invalid(self, bad):
+        assert not is_valid_smiles(bad)
+
+    def test_ring_perception(self):
+        mol = parse_smiles("Cc1ccccc1")  # toluene: 6 ring atoms + 1 methyl
+        assert sum(a.in_ring for a in mol.atoms) == 6
+
+    def test_add_hydrogens(self):
+        mol = parse_smiles("CCO").add_hydrogens()
+        assert mol.num_atoms() == 9
+        assert sum(1 for a in mol.atoms if a.symbol == "H") == 6
+
+    def test_disconnected(self):
+        mol = parse_smiles("[Na+].[Cl-]")
+        assert mol.num_atoms() == 2 and len(mol.bonds) == 0
+
+
+class TestScaffold:
+    def test_grouping(self):
+        # substituted benzenes share a scaffold
+        assert murcko_scaffold("c1ccccc1") == murcko_scaffold("Cc1ccccc1")
+        assert murcko_scaffold("c1ccccc1") == murcko_scaffold("CCCc1ccccc1")
+        # different ring systems differ
+        assert murcko_scaffold("c1ccccc1") != murcko_scaffold("C1CCCCC1")
+        assert murcko_scaffold("c1ccccc1") != murcko_scaffold("c1ccncc1")
+
+    def test_acyclic_empty(self):
+        assert murcko_scaffold("CCO") == ""
+
+    def test_invalid_returns_input(self):
+        assert murcko_scaffold("NOT_A_SMILES((") == "NOT_A_SMILES(("
+
+
+class TestConformer:
+    def test_deterministic(self):
+        a1, c1 = smi2coords("CC(=O)Oc1ccccc1C(=O)O", seed=42)
+        a2, c2 = smi2coords("CC(=O)Oc1ccccc1C(=O)O", seed=42)
+        assert a1 == a2
+        np.testing.assert_allclose(c1, c2)
+
+    def test_seed_changes_coords(self):
+        _, c1 = smi2coords("CCO", seed=1)
+        _, c2 = smi2coords("CCO", seed=2)
+        assert not np.allclose(c1, c2)
+
+    def test_bond_lengths_reasonable(self):
+        atoms, coords = smi2coords("CCO", seed=42)
+        # heavy atoms come first (C,C,O), bonds C-C then C-O
+        d_cc = np.linalg.norm(coords[0] - coords[1])
+        d_co = np.linalg.norm(coords[1] - coords[2])
+        assert 1.3 < d_cc < 1.75
+        assert 1.2 < d_co < 1.65
+
+    def test_remove_hs(self):
+        atoms, coords = smi2coords("CCO", seed=42, remove_hs=True)
+        assert atoms == ["C", "C", "O"]
+        assert coords.shape == (3, 3)
+
+
+class TestFeaturizer:
+    def setup_method(self):
+        self.dictionary = Dictionary.load()
+        self.dictionary.add_symbol("[MASK]", is_special=True)
+
+    def test_layout(self):
+        atoms, coords = smi2coords("CCO", seed=42)
+        feat = coords2unimol(atoms, coords, self.dictionary)
+        n = len(atoms) + 2
+        assert feat["src_tokens"].shape == (n,)
+        assert feat["src_tokens"][0] == self.dictionary.bos()
+        assert feat["src_tokens"][-1] == self.dictionary.eos()
+        assert feat["src_distance"].shape == (n, n)
+        assert feat["src_coord"].shape == (n, 3)
+        assert feat["src_edge_type"].shape == (n, n)
+
+    def test_distance_matrix_properties(self):
+        atoms, coords = smi2coords("c1ccccc1", seed=42)
+        feat = coords2unimol(atoms, coords, self.dictionary)
+        d = feat["src_distance"]
+        np.testing.assert_allclose(d, d.T, atol=1e-5)
+        np.testing.assert_allclose(np.diag(d), 0.0, atol=1e-6)
+        # coords centered: heavy+H centroid at origin (excluding bos/eos rows)
+        np.testing.assert_allclose(feat["src_coord"][1:-1].mean(0), 0.0, atol=1e-4)
+
+    def test_edge_types(self):
+        atoms, coords = smi2coords("CCO", seed=42)
+        feat = coords2unimol(atoms, coords, self.dictionary)
+        v = len(self.dictionary)
+        t = feat["src_tokens"]
+        np.testing.assert_array_equal(
+            feat["src_edge_type"], t.reshape(-1, 1) * v + t.reshape(1, -1)
+        )
+
+    def test_max_atoms_crop(self):
+        atoms = ["C"] * 300
+        coords = np.random.RandomState(0).randn(300, 3).astype(np.float32)
+        feat = coords2unimol(atoms, coords, self.dictionary, max_atoms=256,
+                             crop_rng=np.random.RandomState(0))
+        assert feat["src_tokens"].shape == (258,)
+
+
+class TestNativeParity:
+    def test_cpp_matches_numpy(self):
+        from mmdti_tpu.chem import native
+        from mmdti_tpu.chem.conformer import _build_terms, _refine
+
+        if not native.available():
+            pytest.skip("libmmchem.so not built")
+        mol = parse_smiles("CC(=O)Oc1ccccc1C(=O)O").add_hydrogens()
+        rng = np.random.RandomState(0)
+        c0 = (rng.randn(mol.num_atoms(), 3) * 3).astype(np.float32)
+        ours = _refine(c0.copy(), _build_terms(mol))
+        theirs = native.refine_coords(mol, c0.copy())
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+class TestTokenizer:
+    def test_roundtrippable_tokens(self):
+        tok = SmilesTokenizer()
+        for smi in ["CCO", "c1ccc(Cl)cc1", "C[C@H](N)C(=O)O", "CC(=O)Oc1ccccc1C(=O)O"]:
+            assert "".join(tok.tokenize(smi)) == smi
+
+    def test_batch_contract(self):
+        tok = SmilesTokenizer()
+        out = tok(["CCO", "c1ccccc1CCCC"], pad_to=32)
+        assert out["input_ids"].shape == (2, 32)
+        assert out["attention_mask"].shape == (2, 32)
+        assert out["input_ids"][0, 0] == tok.bos_token_id
+        assert (out["input_ids"][out["attention_mask"] == 0] == tok.pad_token_id).all()
+
+    def test_deterministic_vocab(self):
+        assert SmilesTokenizer().vocab == SmilesTokenizer().vocab

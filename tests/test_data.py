@@ -1,0 +1,211 @@
+"""Data layer tests: reader, scaler, weights, collation, splits."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mmdti_tpu.chem import SmilesTokenizer
+from mmdti_tpu.data import (
+    BatchCollator,
+    MolDataLoader,
+    MolDataReader,
+    MolDataset,
+    TargetScaler,
+    calculate_weights,
+    compute_sample_weights,
+)
+from mmdti_tpu.splits import Splitter, random_scaffold_split, random_split
+
+
+class TestReader:
+    def test_explicit_target_cols(self, tmp_path):
+        df = pd.DataFrame({"smiles": ["CCO", "CCC"], "y": [1.0, 2.0]})
+        p = tmp_path / "d.csv"
+        df.to_csv(p, index=False)
+        out = MolDataReader().read_data(str(p), True, task="regression",
+                                        target_cols=["y"], smiles_col="smiles")
+        assert out["target_cols"] == ["y"]
+        assert out["raw_target"] == [[1.0], [2.0]]
+        assert out["num_classes"] == 1
+
+    def test_prefix_discovery(self):
+        data = pd.DataFrame({"SMILES": ["CCO"], "TARGET_a": [1.0], "TARGET_b": [2.0]})
+        out = MolDataReader().read_data(data, True, task="multilabel_regression")
+        assert out["target_cols"] == ["TARGET_a", "TARGET_b"]
+
+    def test_predict_placeholder(self):
+        data = pd.DataFrame({"SMILES": ["CCO", "CCC"]})
+        out = MolDataReader().read_data(data, False, task="regression", target_cols=["y"])
+        assert (np.asarray(out["raw_target"]) == -1.0).all()
+
+    def test_anomaly_clean(self):
+        vals = list(np.ones(50)) + [1000.0]
+        data = pd.DataFrame({"SMILES": ["CCO"] * 51, "y": vals})
+        out = MolDataReader().read_data(data, True, task="regression",
+                                        target_cols=["y"], anomaly_clean=True)
+        assert len(out["raw_target"]) == 50
+
+    def test_invalid_smiles_filtered_keeps_alignment(self):
+        data = pd.DataFrame({"SMILES": ["CCO", "BAD((", "CCC"], "y": [1.0, 2.0, 3.0]})
+        out = MolDataReader().read_data(data, True, task="regression", target_cols=["y"])
+        assert out["smiles"] == ["CCO", "CCC"]
+        assert out["raw_target"] == [[1.0], [3.0]]
+
+    def test_dict_input(self):
+        out = MolDataReader().read_data(
+            {"SMILES": ["CCO", "CCC"], "target": [0, 1]}, True, task="classification"
+        )
+        assert out["target_cols"] == ["TARGET"]
+
+
+class TestScaler:
+    def test_standard_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        y = rng.randn(100, 1) * 3 + 5
+        sc = TargetScaler("standard", "regression")
+        sc.fit(y, str(tmp_path))
+        z = sc.transform(y)
+        np.testing.assert_allclose(z.mean(), 0, atol=1e-7)
+        np.testing.assert_allclose(sc.inverse_transform(z), y, atol=1e-6)
+
+    def test_auto_selects_standard_for_normal(self):
+        from sklearn.preprocessing import StandardScaler
+
+        y = np.random.RandomState(0).randn(500, 1)
+        sc = TargetScaler("auto", "regression")
+        sc.fit(y)
+        assert isinstance(sc.scaler, StandardScaler)
+
+    def test_auto_selects_robust_for_skewed(self):
+        from sklearn.preprocessing import RobustScaler
+
+        rng = np.random.RandomState(0)
+        y = np.concatenate([rng.randn(500), rng.randn(5) * 1000]).reshape(-1, 1)
+        sc = TargetScaler("auto", "regression")
+        sc.fit(y)
+        assert isinstance(sc.scaler, RobustScaler)
+
+    def test_persistence(self, tmp_path):
+        y = np.random.RandomState(0).randn(50, 1)
+        sc = TargetScaler("standard", "regression")
+        sc.fit(y, str(tmp_path))
+        sc2 = TargetScaler("standard", "regression", load_dir=str(tmp_path))
+        np.testing.assert_allclose(sc2.transform(y), sc.transform(y))
+
+    def test_classification_passthrough(self):
+        y = np.array([[0], [1]])
+        sc = TargetScaler("standard", "classification")
+        sc.fit(y)
+        np.testing.assert_array_equal(sc.transform(y), y)
+
+    def test_multilabel_nan_handling(self):
+        y = np.array([[1.0, np.nan], [2.0, 4.0], [3.0, 6.0]])
+        sc = TargetScaler("standard", "multilabel_regression")
+        sc.fit(y)
+        z = sc.transform(y)
+        assert np.isfinite(z[:, 0]).all()
+
+
+class TestWeights:
+    def test_mean_one_normalization(self):
+        y = np.random.RandomState(0).randn(200)
+        w = calculate_weights(y, max_bin=50)
+        assert w.shape == (200,)
+        np.testing.assert_allclose(w.mean(), 1.0, atol=1e-5)
+
+    def test_rare_labels_upweighted(self):
+        rng = np.random.RandomState(0)
+        y = np.concatenate([rng.normal(0, 0.1, 95), rng.normal(1.0, 0.05, 5)])
+        w = calculate_weights(y, max_bin=10)
+        assert w[-5:].mean() > w[:95].mean()
+
+    def test_all_weight_shape(self):
+        y = np.random.RandomState(0).randn(100, 3)
+        w = compute_sample_weights(y, all_weight=True)
+        assert w.shape == (100, 3)
+
+    def test_lds_runs(self):
+        y = np.random.RandomState(0).randn(100)
+        w = calculate_weights(y, max_bin=20, lds=True)
+        assert np.isfinite(w).all()
+
+
+class TestCollation:
+    def _features(self, n=6):
+        rng = np.random.RandomState(0)
+        feats = []
+        for i in range(n):
+            k = rng.randint(4, 10)
+            feats.append({
+                "src_tokens": np.concatenate([[0], rng.randint(4, 20, k), [2]]),
+                "src_distance": rng.rand(k + 2, k + 2).astype(np.float32),
+                "src_edge_type": rng.randint(0, 100, (k + 2, k + 2)),
+                "src_coord": rng.randn(k + 2, 3).astype(np.float32),
+                "smile": "CCO" if i % 2 else "c1ccccc1",
+                "weights": np.float32(1.0),
+            })
+        return feats
+
+    def test_static_shapes(self):
+        feats = self._features()
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="dataset",
+                             atom_pad=16, smiles_pad=24)
+        ds = MolDataset(feats, np.zeros((len(feats), 1)))
+        shapes = set()
+        for batch, labels in MolDataLoader(ds, 2, coll):
+            shapes.add(batch["src_tokens"].shape + batch["input_ids"].shape)
+            assert batch["src_distance"].shape == (2, 16, 16)
+        assert len(shapes) == 1
+
+    def test_drop_last_and_shuffle_determinism(self):
+        feats = self._features(7)
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="dataset",
+                             atom_pad=16, smiles_pad=24)
+        ds = MolDataset(feats, np.arange(7).reshape(-1, 1))
+        dl = MolDataLoader(ds, 2, coll, shuffle=True, drop_last=True, seed=0)
+        assert len(dl) == 3
+        order1 = [labels.tolist() for _, labels in MolDataLoader(ds, 2, coll, shuffle=True, seed=5)]
+        order2 = [labels.tolist() for _, labels in MolDataLoader(ds, 2, coll, shuffle=True, seed=5)]
+        assert order1 == order2
+
+
+class TestSplits:
+    def _df(self, n=40):
+        # many small scaffold buckets so the greedy fill can populate test/valid
+        base = [
+            "c1ccccc1", "C1CCCCC1", "c1ccncc1", "c1ccc2ccccc2c1", "C1CCNCC1",
+            "c1ccoc1", "c1ccsc1", "C1CCOC1", "c1cncnc1", "C1CC1",
+            "C1CCC1", "C1CCCC1", "c1cnccn1", "C1CCNC1", "c1cc[nH]c1",
+            "C1COCCN1", "c1ccc2[nH]ccc2c1", "C1CCOCC1", "c1cscn1", "C1CNCCN1",
+        ]
+        rng = np.random.RandomState(0)
+        return pd.DataFrame({
+            "smiles": [f"{'C' * (i // len(base))}{base[i % len(base)]}" for i in range(n)],
+            "y": rng.randn(n),
+        })
+
+    def test_scaffold_split_invariants(self):
+        df = self._df()
+        tr, va, te = random_scaffold_split(df, random_seed=0)
+        assert len(tr) + len(va) + len(te) == len(df)
+        assert not set(tr.index) & set(te.index)
+        assert not set(tr.index) & set(va.index)
+
+    def test_scaffold_split_seed_dependence(self):
+        df = self._df()
+        te0 = random_scaffold_split(df, random_seed=0)[2]
+        te1 = random_scaffold_split(df, random_seed=1)[2]
+        assert len(te0) and len(te1)
+
+    def test_random_split(self):
+        df = self._df()
+        tr, va, te = random_split(df, random_seed=0)
+        assert len(tr) + len(va) + len(te) == len(df)
+
+    def test_kfold_splitter(self):
+        df = self._df()
+        sp = Splitter("5fold_random", seed=42)
+        folds = list(sp.split(df))
+        assert len(folds) == 5
+        with pytest.raises(ValueError):
+            Splitter("5fold_bogus")

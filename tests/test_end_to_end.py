@@ -1,0 +1,100 @@
+"""Integration: MolTrain -> artifacts -> MolPredict, CSV/config contracts
+(SURVEY §4 'Integration (CPU-runnable)')."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SMALL_ARCH
+
+
+@pytest.fixture(scope="module")
+def trained_exp(tiny_csv_module, tmp_path_factory):
+    train_p, val_p, _ = tiny_csv_module
+    exp = str(tmp_path_factory.mktemp("exp"))
+    from mmdti_tpu import MolTrain
+
+    clf = MolTrain(
+        task="regression", epochs=2, learning_rate=1e-3, batch_size=8,
+        early_stopping=5, metrics="mse", smiles_col="smiles", save_path=exp,
+        target_cols=["measured"], using_infonce=True, using_ct=True,
+        raw_data=train_p, use_weight=True, fds=True, fds_num=8,
+        fds_raw_path=train_p, fds_col_data="measured", seed=42,
+        compute_dtype="float32", use_pallas=False, **SMALL_ARCH,
+    )
+    clf.fit(train_p, val_p)
+    return exp, train_p, val_p
+
+
+@pytest.fixture(scope="module")
+def tiny_csv_module(tmp_path_factory):
+    from tests.conftest import SMILES_20
+
+    rng = np.random.RandomState(0)
+    tmp = tmp_path_factory.mktemp("data_e2e")
+    df = pd.DataFrame({"smiles": SMILES_20, "measured": rng.randn(len(SMILES_20)) * 2 + 1})
+    train, val = tmp / "train.csv", tmp / "val.csv"
+    df.iloc[:16].to_csv(train, index=False)
+    df.iloc[16:].to_csv(val, index=False)
+    return str(train), str(val), str(tmp)
+
+
+class TestTrainArtifacts:
+    def test_experiment_dir_contract(self, trained_exp):
+        exp, _, _ = trained_exp
+        files = set(os.listdir(exp))
+        assert "config.yaml" in files
+        assert "model_0.ckpt" in files
+        assert "target_scaler.ss" in files
+
+    def test_config_roundtrip(self, trained_exp):
+        exp, _, _ = trained_exp
+        from mmdti_tpu.configs import load_yaml
+
+        cfg = load_yaml(os.path.join(exp, "config.yaml"))
+        assert cfg.task == "regression"
+        assert cfg.target_cols == "measured"
+        assert cfg.num_classes == 1
+
+
+class TestPredict:
+    def test_predict_with_truth(self, trained_exp, tmp_path):
+        exp, _, val_p = trained_exp
+        from mmdti_tpu import MolPredict
+
+        out_dir = str(tmp_path / "out")
+        pred = MolPredict(load_model=exp)
+        y = pred.predict(val_p, save_path=out_dir)
+        assert y.shape == (4, 1)
+        assert np.isfinite(y).all()
+        files = os.listdir(out_dir)
+        csvs = [f for f in files if f.endswith(".csv")]
+        assert len(csvs) == 1
+        df = pd.read_csv(os.path.join(out_dir, csvs[0]))
+        assert "predict_measured" in df.columns
+        assert "test_metric.result" in files
+
+    def test_predict_without_truth(self, trained_exp, tmp_path):
+        exp, _, val_p = trained_exp
+        from mmdti_tpu import MolPredict
+
+        df = pd.read_csv(val_p)[["smiles"]]
+        p = str(tmp_path / "notruth.csv")
+        df.to_csv(p, index=False)
+        out_dir = str(tmp_path / "out2")
+        y = MolPredict(load_model=exp).predict(p, save_path=out_dir)
+        assert y.shape[0] == len(df)
+        files = os.listdir(out_dir)
+        assert "test_metric.result" not in files
+        out_df = pd.read_csv(os.path.join(out_dir, [f for f in files if f.endswith(".csv")][0]))
+        assert "measured" not in out_df.columns
+
+    def test_determinism(self, trained_exp):
+        exp, _, val_p = trained_exp
+        from mmdti_tpu import MolPredict
+
+        y1 = MolPredict(load_model=exp).predict(val_p)
+        y2 = MolPredict(load_model=exp).predict(val_p)
+        np.testing.assert_allclose(y1, y2, atol=1e-6)

@@ -1,0 +1,192 @@
+"""Model numerics: attention oracle, bias threading, HF RoBERTa parity,
+cross-attention masking, Gaussian layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmdti_tpu.configs.architectures import (
+    ChemBertaConfig,
+    CrossModalConfig,
+    UniMolEncoderConfig,
+)
+from mmdti_tpu.models import ChemBerta, CrossAttentionModel, GaussianLayer
+from mmdti_tpu.models.unimol import UniMolEncoder
+from mmdti_tpu.ops.attention import merge_padding_into_bias, pair_bias_attention_xla
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+class TestPairBiasAttention:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.RandomState(0)
+        B, H, N, D = 2, 3, 5, 4
+        q = rng.randn(B, H, N, D).astype(np.float32)
+        k = rng.randn(B, H, N, D).astype(np.float32)
+        v = rng.randn(B, H, N, D).astype(np.float32)
+        bias = rng.randn(B, H, N, N).astype(np.float32)
+        out, logits = pair_bias_attention_xla(*map(jnp.asarray, (q, k, v, bias)))
+
+        want_logits = np.einsum("bhnd,bhmd->bhnm", q * D ** -0.5, k) + bias
+        want_out = np.einsum("bhnm,bhmd->bhnd", _softmax(want_logits), v)
+        np.testing.assert_allclose(np.asarray(logits), want_logits, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), want_out, atol=1e-5)
+
+    def test_padding_fill_excludes_keys(self):
+        rng = np.random.RandomState(1)
+        B, H, N, D = 1, 2, 4, 4
+        q, k, v = (rng.randn(B, H, N, D).astype(np.float32) for _ in range(3))
+        bias = np.zeros((B, H, N, N), np.float32)
+        pad = np.array([[False, False, False, True]])
+        filled = merge_padding_into_bias(jnp.asarray(bias), jnp.asarray(pad))
+        out, logits = pair_bias_attention_xla(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), filled
+        )
+        # padded key never attended: prob mass only over first 3
+        probs = _softmax(np.asarray(logits))
+        np.testing.assert_allclose(probs[..., 3], 0.0, atol=1e-7)
+        # and logits at padded keys stay -inf for the next layer
+        assert np.isneginf(np.asarray(logits)[..., 3]).all()
+
+    def test_bias_threading_two_layers(self):
+        """Layer 2's logits must accumulate layer 1's logits (the pair channel)."""
+        rng = np.random.RandomState(2)
+        B, H, N, D = 1, 2, 4, 4
+        bias0 = rng.randn(B, H, N, N).astype(np.float32)
+        qs = [rng.randn(B, H, N, D).astype(np.float32) for _ in range(2)]
+        ks = [rng.randn(B, H, N, D).astype(np.float32) for _ in range(2)]
+        v = rng.randn(B, H, N, D).astype(np.float32)
+        _, l1 = pair_bias_attention_xla(
+            jnp.asarray(qs[0]), jnp.asarray(ks[0]), jnp.asarray(v), jnp.asarray(bias0)
+        )
+        _, l2 = pair_bias_attention_xla(
+            jnp.asarray(qs[1]), jnp.asarray(ks[1]), jnp.asarray(v), l1
+        )
+        want = (
+            np.einsum("bhnd,bhmd->bhnm", qs[1] * D ** -0.5, ks[1])
+            + np.einsum("bhnd,bhmd->bhnm", qs[0] * D ** -0.5, ks[0])
+            + bias0
+        )
+        np.testing.assert_allclose(np.asarray(l2), want, atol=1e-5)
+
+
+class TestUniMolEncoder:
+    def test_forward_shapes_and_finiteness(self):
+        cfg = UniMolEncoderConfig(
+            encoder_layers=2, embed_dim=32, ffn_embed_dim=64, attention_heads=4,
+            dropout=0.0, emb_dropout=0.0, attention_dropout=0.0,
+        )
+        enc = UniMolEncoder(cfg)
+        rng = np.random.RandomState(0)
+        B, N = 2, 6
+        emb = jnp.asarray(rng.randn(B, N, 32).astype(np.float32))
+        bias = jnp.asarray(rng.randn(B, 4, N, N).astype(np.float32))
+        pad = jnp.asarray(np.array([[False] * 6, [False, False, False, False, True, True]]))
+        vars_ = enc.init(jax.random.PRNGKey(0), emb, bias, pad)
+        out = enc.apply(vars_, emb, bias, pad)
+        assert out["rep"].shape == (B, N, 32)
+        assert out["pair_logits"].shape == (B, 4, N, N)
+        assert out["delta_pair_repr"].shape == (B, N, N, 4)
+        assert bool(jnp.isfinite(out["rep"]).all())
+        assert bool(jnp.isfinite(out["delta_pair_repr"]).all())
+        assert np.isfinite(float(out["x_norm"]))
+
+    def test_padded_tokens_do_not_change_valid_outputs(self):
+        cfg = UniMolEncoderConfig(
+            encoder_layers=1, embed_dim=16, ffn_embed_dim=32, attention_heads=2,
+            dropout=0.0, emb_dropout=0.0, attention_dropout=0.0,
+        )
+        enc = UniMolEncoder(cfg)
+        rng = np.random.RandomState(0)
+        emb = rng.randn(1, 4, 16).astype(np.float32)
+        bias = rng.randn(1, 2, 4, 4).astype(np.float32)
+        pad = np.array([[False, False, False, True]])
+        vars_ = enc.init(jax.random.PRNGKey(0), jnp.asarray(emb), jnp.asarray(bias), jnp.asarray(pad))
+        out1 = enc.apply(vars_, jnp.asarray(emb), jnp.asarray(bias), jnp.asarray(pad))
+        emb2 = emb.copy()
+        emb2[0, 3] = 99.0  # mutate padded token embedding
+        out2 = enc.apply(vars_, jnp.asarray(emb2), jnp.asarray(bias), jnp.asarray(pad))
+        np.testing.assert_allclose(
+            np.asarray(out1["rep"][:, :3]), np.asarray(out2["rep"][:, :3]), atol=1e-5
+        )
+
+
+class TestChemBertaHFParity:
+    def test_matches_hf_roberta(self):
+        torch = pytest.importorskip("torch")
+        from transformers import RobertaConfig, RobertaModel
+
+        from mmdti_tpu.models.convert import convert_hf_roberta
+
+        hf_cfg = RobertaConfig(
+            vocab_size=50, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=40, type_vocab_size=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            pad_token_id=1, layer_norm_eps=1e-5,
+        )
+        torch.manual_seed(0)
+        hf = RobertaModel(hf_cfg, add_pooling_layer=False).eval()
+
+        cfg = ChemBertaConfig(
+            vocab_size=50, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=40, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, layer_norm_eps=1e-5,
+        )
+        model = ChemBerta(cfg)
+        ids = np.array([[0, 5, 6, 7, 2, 1, 1], [0, 9, 10, 2, 1, 1, 1]], np.int32)
+        mask = (ids != 1).astype(np.int32)
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask))
+        params = jax.tree.map(np.asarray, vars_["params"])
+        params = convert_hf_roberta(hf.state_dict(), params)
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
+
+        with torch.no_grad():
+            want = hf(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+            ).last_hidden_state.numpy()
+        # valid positions must match HF numerics
+        np.testing.assert_allclose(got[mask == 1], want[mask == 1], atol=2e-4)
+
+
+class TestCrossModal:
+    def test_masked_keys_do_not_affect_output(self):
+        cfg = CrossModalConfig(
+            hidden_size=16, num_attention_heads=2, intermediate_size=32,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        cm = CrossAttentionModel(cfg)
+        rng = np.random.RandomState(0)
+        a = rng.randn(1, 3, 16).astype(np.float32)
+        b = rng.randn(1, 4, 16).astype(np.float32)
+        a_mask = np.array([[1, 1, 1]], np.int32)
+        b_mask = np.array([[1, 1, 0, 0]], np.int32)
+        vars_ = cm.init(jax.random.PRNGKey(0), *map(jnp.asarray, (a, b, a_mask, b_mask)))
+        out1 = cm.apply(vars_, *map(jnp.asarray, (a, b, a_mask, b_mask)))
+        b2 = b.copy()
+        b2[0, 2:] = 123.0  # mutate masked b-keys
+        out2 = cm.apply(vars_, *map(jnp.asarray, (a, b2, a_mask, b_mask)))
+        # a_to_b stream only attends unmasked b keys -> unchanged
+        np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-4)
+
+
+class TestGaussianLayer:
+    def test_matches_formula(self):
+        layer = GaussianLayer(kernels=8, edge_types=16)
+        rng = np.random.RandomState(0)
+        dist = jnp.asarray(rng.rand(1, 3, 3).astype(np.float32) * 4)
+        et = jnp.asarray(rng.randint(0, 16, (1, 3, 3)))
+        vars_ = layer.init(jax.random.PRNGKey(0), dist, et)
+        out = np.asarray(layer.apply(vars_, dist, et))
+        p = jax.tree.map(np.asarray, vars_["params"])
+        x = p["mul"][np.asarray(et)] * np.asarray(dist)[..., None] + p["bias"][np.asarray(et)]
+        std = np.abs(p["stds"]) + 1e-5
+        want = np.exp(-0.5 * ((x - p["means"]) / std) ** 2) / ((2 * 3.14159) ** 0.5 * std)
+        np.testing.assert_allclose(out, want, atol=1e-5)
+        assert out.shape == (1, 3, 3, 8)

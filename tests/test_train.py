@@ -1,0 +1,166 @@
+"""Trainer mechanics: DP-vs-single-device parity on 8 virtual devices,
+checkpoint roundtrip, schedule shape, freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmdti_tpu.models import build_model
+from mmdti_tpu.parallel import make_mesh, param_sharding, replicate, shard_batch
+from mmdti_tpu.train import load_checkpoint, make_optimizer, save_checkpoint
+from mmdti_tpu.train.optim import linear_warmup_schedule
+
+
+def _tiny_model():
+    return build_model(
+        output_dim=1, atom_vocab_size=35, atom_pad_idx=1, task="regression",
+        smiles_vocab_size=64, compute_dtype="float32",
+        unimol_overrides={
+            "encoder_layers": 1, "embed_dim": 16, "ffn_embed_dim": 32,
+            "attention_heads": 2, "dropout": 0.0, "emb_dropout": 0.0,
+            "attention_dropout": 0.0, "pooler_dropout": 0.0,
+        },
+        chemberta_overrides={
+            "hidden_size": 16, "num_hidden_layers": 1, "num_attention_heads": 2,
+            "intermediate_size": 32, "hidden_dropout_prob": 0.0,
+            "attention_probs_dropout_prob": 0.0,
+        },
+    )
+
+
+def _batch(B=8, N=8, L=10, seed=0):
+    rng = np.random.RandomState(seed)
+    toks = rng.randint(4, 30, (B, N))
+    toks[:, 0] = 0
+    toks[:, -1] = 2
+    return {
+        "src_tokens": jnp.asarray(toks),
+        "src_distance": jnp.asarray(rng.rand(B, N, N).astype(np.float32) * 4),
+        "src_edge_type": jnp.asarray(rng.randint(0, 35 * 35, (B, N, N))),
+        "input_ids": jnp.asarray(rng.randint(4, 60, (B, L))),
+        "attention_mask": jnp.asarray(np.ones((B, L), np.int32)),
+    }, jnp.asarray(rng.randn(B, 1).astype(np.float32))
+
+
+class TestSchedule:
+    def test_linear_warmup_then_decay(self):
+        sched = linear_warmup_schedule(1e-3, 100, 0.1)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(55)), 5e-4, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-9)
+
+
+class TestDistributed:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_dp_matches_single_device(self):
+        """Data-parallel sharded step == single-device step (SURVEY §4)."""
+        model = _tiny_model()
+        feats, labels = _batch()
+        key = jax.random.PRNGKey(0)
+        variables = model.init({"params": key, "dropout": key}, **feats, deterministic=True)
+        params0 = variables["params"]
+        tx, _ = make_optimizer(1e-3, 100, 0.1, 1.0)
+
+        def loss_fn(p, f, y):
+            out = model.apply({"params": p}, **f, deterministic=True)
+            task = jnp.mean((out["logits"] - y) ** 2)
+            return task + 0.1 * out["infonce_loss"]
+
+        @jax.jit
+        def step(p, opt, f, y):
+            loss, grads = jax.value_and_grad(loss_fn)(p, f, y)
+            updates, opt = tx.update(grads, opt, p)
+            return jax.tree.map(lambda a, b: a + b, p, updates), opt, loss
+
+        results = {}
+        for ndev in (1, 8):
+            mesh = make_mesh((ndev, 1), devices=jax.devices()[:ndev])
+            p = replicate(mesh, params0)
+            opt = tx.init(p)
+            f = shard_batch(mesh, feats)
+            y = shard_batch(mesh, {"y": labels})["y"]
+            p1, _, loss = step(p, opt, f, y)
+            results[ndev] = (jax.device_get(loss), jax.device_get(p1))
+        np.testing.assert_allclose(results[1][0], results[8][0], rtol=1e-5)
+        flat1 = jax.tree.leaves(results[1][1])
+        flat8 = jax.tree.leaves(results[8][1])
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_tensor_parallel_sharding_compiles(self):
+        """(data=4, model=2) mesh: TP-sharded params, step executes."""
+        model = _tiny_model()
+        feats, labels = _batch()
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
+        mesh = make_mesh((4, 2))
+        shardings = param_sharding(mesh, params)
+        p = jax.device_put(params, shardings)
+        f = shard_batch(mesh, feats)
+
+        @jax.jit
+        def fwd(p, f):
+            out = model.apply({"params": p}, **f, deterministic=True)
+            return out["logits"].sum()
+
+        val = float(fwd(p, f))
+        want = float(fwd(jax.device_put(params, None), jax.device_put(feats, None)))
+        np.testing.assert_allclose(val, want, rtol=2e-4)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        model = _tiny_model()
+        feats, _ = _batch(B=2)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
+        fds = {"running_mean": jnp.ones((5, 4))}
+        save_checkpoint(str(tmp_path), 0, params, fds)
+        ckpt = load_checkpoint(str(tmp_path), 0)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ckpt["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(ckpt["fds"]["running_mean"]), 1.0)
+
+
+class TestFreezing:
+    def test_frozen_params_do_not_move(self):
+        tx, _ = make_optimizer(
+            1e-1, 10, 0.0, 100.0,
+            frozen_mask={"a": True, "b": False},
+        )
+        params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        opt = tx.init(params)
+        grads = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        updates, _ = tx.update(grads, opt, params)
+        np.testing.assert_allclose(np.asarray(updates["a"]), 0.0)
+        assert np.abs(np.asarray(updates["b"])).max() > 0
+
+
+class TestOverfit:
+    def test_loss_decreases(self):
+        model = _tiny_model()
+        feats, labels = _batch(B=8)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
+        tx, _ = make_optimizer(3e-3, 60, 0.05, 5.0)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o, f, y):
+            def lf(p):
+                out = model.apply({"params": p}, **f, deterministic=True)
+                return jnp.mean((out["logits"] - y) ** 2)
+
+            loss, grads = jax.value_and_grad(lf)(p)
+            updates, o = tx.update(grads, o, p)
+            return jax.tree.map(lambda a, b: a + b, p, updates), o, loss
+
+        losses = []
+        for _ in range(40):
+            params, opt, l = step(params, opt, feats, labels)
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
