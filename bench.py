@@ -1,0 +1,98 @@
+"""Benchmark: finetune training throughput, molecules/sec/chip (ESOL-shaped).
+
+Runs the full flagship training step (15L/512d/64H Uni-Mol encoder + ChemBERTa
++ cross-modal fusion, task MSE + InfoNCE + ConR losses, Adam update, bf16
+compute) on ESOL-shaped synthetic batches: batch 32 (reference finetune.py
+default), 64 atom positions, 64 SMILES tokens.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "mols/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.json "published" is empty) and the PyTorch stack (unicore CUDA
+kernels) cannot run in this environment, so the baseline is an *estimate* of
+the reference pipeline on its intended single-GPU setup: a ~55M-param fp16
+model at batch 32 with per-step time ~0.1-0.15s => ~250 molecules/sec.
+BASELINE.md's north star is >=5x that (>=1250 mols/sec/chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ESTIMATED_REFERENCE_MOLS_PER_SEC = 250.0
+
+BATCH = 32
+N_ATOMS = 64
+N_SMILES = 64
+WARMUP = 3
+STEPS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _example_batch, _flagship
+    from mmdti_tpu.losses.contrastive import ct_regress
+    from mmdti_tpu.train import make_optimizer
+
+    model = _flagship()
+    batch_np = _example_batch(B=BATCH, N=N_ATOMS, L=N_SMILES)
+    feats = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randn(BATCH, 1).astype("float32"))
+    weights = jnp.ones((BATCH, 1), jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
+    tx, _ = make_optimizer(1e-4, 10000, 0.03, 5.0)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, feats, y, w, dropout_rng):
+        out = model.apply(
+            {"params": p}, **feats, deterministic=False, rngs={"dropout": dropout_rng}
+        )
+        task = jnp.mean((out["logits"] - y) ** 2)
+        ct = ct_regress(out["pooled"], y, out["logits"], w)
+        return task + 0.1 * out["infonce_loss"] + 0.1 * ct
+
+    @jax.jit
+    def train_step(p, opt, feats, y, w, step):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(1), step)
+        loss, grads = jax.value_and_grad(loss_fn)(p, feats, y, w, dropout_rng)
+        updates, opt = tx.update(grads, opt, p)
+        p = jax.tree.map(lambda a, u: a + u, p, updates)
+        return p, opt, loss
+
+    for i in range(WARMUP):
+        params, opt_state, loss = train_step(params, opt_state, feats, labels, weights, i)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        params, opt_state, loss = train_step(
+            params, opt_state, feats, labels, weights, WARMUP + i
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    mols_per_sec = BATCH * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "esol_finetune_train_throughput",
+                "value": round(mols_per_sec, 2),
+                "unit": "mols/sec/chip",
+                "vs_baseline": round(mols_per_sec / ESTIMATED_REFERENCE_MOLS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
