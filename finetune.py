@@ -1,0 +1,137 @@
+"""Experiment driver: 5-seed scaffold-split finetuning protocol.
+
+Mirrors the reference protocol (/root/reference/finetune.py:26-79): for each
+seed, random_scaffold_split 80/10/10 -> MolTrain -> MolPredict -> per-seed
+RMSE -> result.csv.  Adds a real CLI (the reference is edit-the-constants) and
+a --synthetic mode so the driver runs without external datasets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mmdti_tpu import MolPredict, MolTrain  # noqa: E402
+from mmdti_tpu.splits import random_scaffold_split  # noqa: E402
+
+
+def make_synthetic_dataset(path: str, n: int = 400, seed: int = 0) -> None:
+    """Solubility-like dataset: diverse scaffolds, target correlated with
+    size/polarity so the model has signal to learn."""
+    from mmdti_tpu.chem import parse_smiles
+
+    scaffolds = [
+        "c1ccccc1", "C1CCCCC1", "c1ccncc1", "c1ccc2ccccc2c1", "C1CCNCC1",
+        "c1ccoc1", "c1ccsc1", "C1CCOC1", "c1cncnc1", "C1CC1", "C1CCC1",
+        "C1CCCC1", "c1cnccn1", "C1CCNC1", "c1cc[nH]c1", "C1COCCN1",
+        "C1CCOCC1", "c1cscn1", "C1CNCCN1", "c1ccc2[nH]ccc2c1",
+    ]
+    subs = ["", "C", "CC", "CCC", "O", "N", "Cl", "F", "OC", "C(=O)O", "C(C)C", "CO"]
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        smi = f"{subs[rng.randint(len(subs))]}{scaffolds[rng.randint(len(scaffolds))]}"
+        mol = parse_smiles(smi)
+        n_heavy = mol.num_atoms()
+        n_hetero = sum(1 for a in mol.atoms if a.symbol not in ("C", "H"))
+        y = -0.2 * n_heavy + 0.8 * n_hetero + rng.randn() * 0.3
+        rows.append((smi, y))
+    pd.DataFrame(rows, columns=["smiles", "measured"]).to_csv(path, index=False)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", default=None, help="CSV with smiles + target column")
+    ap.add_argument("--target-col", default="measured")
+    ap.add_argument("--smiles-col", default="smiles")
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--learning-rate", type=float, default=1e-4)
+    ap.add_argument("--early-stopping", type=int, default=20)
+    ap.add_argument("--fds-num", type=int, default=30)
+    ap.add_argument("--chemberta-dir", default="")
+    ap.add_argument("--unimol-dir", default="")
+    ap.add_argument("--out", default="result.csv")
+    ap.add_argument("--workdir", default="./finetune_runs")
+    ap.add_argument("--synthetic", action="store_true", help="generate a synthetic dataset")
+    ap.add_argument("--small", action="store_true", help="small architecture (debug)")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    data_path = args.data
+    if data_path is None or args.synthetic:
+        data_path = os.path.join(args.workdir, "synthetic.csv")
+        make_synthetic_dataset(data_path)
+        print(f"Generated synthetic dataset at {data_path}")
+
+    arch = {}
+    if args.small:
+        arch = dict(
+            unimol_overrides={"encoder_layers": 2, "embed_dim": 64,
+                              "ffn_embed_dim": 128, "attention_heads": 8},
+            chemberta_overrides={"hidden_size": 64, "num_hidden_layers": 2,
+                                 "num_attention_heads": 4, "intermediate_size": 128},
+        )
+
+    test_rmse = []
+    for idx in range(args.seeds):
+        train_df, valid_df, test_df = random_scaffold_split(
+            data_path, random_seed=idx, ratio_test=0.1, ration_valid=0.1
+        )
+        paths = {}
+        for name, df in (("train", train_df), ("val", valid_df), ("test", test_df)):
+            p = os.path.join(args.workdir, f"{name}_{idx}.csv")
+            df.to_csv(p, index=False)
+            paths[name] = p
+
+        save_path = os.path.join(args.workdir, f"exp_seed_{idx}")
+        clf = MolTrain(
+            task="regression",
+            epochs=args.epochs,
+            learning_rate=args.learning_rate,
+            batch_size=args.batch_size,
+            early_stopping=args.early_stopping,
+            metrics="mse",
+            smiles_col=args.smiles_col,
+            save_path=save_path,
+            target_cols=[args.target_col],
+            model_name="mm_model",
+            using_infonce=True,
+            using_ct=True,
+            raw_data=paths["train"],
+            use_weight=True,
+            all_weight=False,
+            fds=True,
+            seed=42,
+            target_anomaly_check="filter",
+            fds_num=args.fds_num,
+            fds_raw_path=paths["train"],
+            fds_col_data=args.target_col,
+            chemberta_dir=args.chemberta_dir,
+            unimol_dir=args.unimol_dir,
+            **arch,
+        )
+        clf.fit(paths["train"], paths["val"])
+
+        predictor = MolPredict(load_model=save_path)
+        test_pred = predictor.predict(paths["test"])
+        truth = pd.read_csv(paths["test"])[args.target_col].values
+        rmse = float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
+        test_rmse.append(rmse)
+        print(f"seed {idx}: test RMSE = {rmse:.4f}")
+
+    pd.DataFrame({"seed": list(range(args.seeds)), "rmse": test_rmse}).to_csv(
+        args.out, index=False
+    )
+    print(f"mean RMSE over {args.seeds} seeds: {np.mean(test_rmse):.4f} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmdti_tpu.data.batching import MolDataLoader
+from mmdti_tpu.data.pipeline import prefetch_to_device
 from mmdti_tpu.losses.contrastive import CT_REGISTRY
 from mmdti_tpu.losses.fds import (
     fds_update_last_epoch_stats,
@@ -232,19 +233,25 @@ class Trainer:
         wait = 0
         global_step = 0
 
+        bsh = batch_sharding(self.mesh)
+
+        def put_on_device(item):
+            """H2D transfer for one batch (runs inside the prefetch window)."""
+            batch, labels = item
+            feats, weights = self._split_batch(batch)
+            feats = shard_batch(self.mesh, feats)
+            labels_d = jax.device_put(self._labels_device(labels), bsh)
+            w_d = (
+                jax.device_put(jnp.asarray(weights, jnp.float32), bsh)
+                if weights is not None
+                else jnp.ones((labels.shape[0], 1), jnp.float32)
+            )
+            return feats, labels_d, w_d
+
         for epoch in range(self.max_epochs):
             t0 = time.time()
             epoch_metrics = []
-            for batch, labels in train_loader:
-                feats, weights = self._split_batch(batch)
-                feats = shard_batch(self.mesh, feats)
-                bsh = batch_sharding(self.mesh)
-                labels_d = jax.device_put(self._labels_device(labels), bsh)
-                w_d = (
-                    jax.device_put(jnp.asarray(weights, jnp.float32), bsh)
-                    if weights is not None
-                    else jnp.ones((labels.shape[0], 1), jnp.float32)
-                )
+            for feats, labels_d, w_d in prefetch_to_device(train_loader, put_on_device):
                 rng = jax.random.fold_in(base_rng, global_step)
                 params, opt_state, m = train_step(
                     params, opt_state, fds_state, feats, labels_d, w_d,
