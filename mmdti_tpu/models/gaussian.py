@@ -35,3 +35,34 @@ class GaussianLayer(nn.Module):
         x = m * dist.astype(jnp.float32)[..., None] + b         # [B,N,N,1]
         std = jnp.abs(stds).astype(jnp.float32) + 1e-5
         return gaussian_pdf(x, means.astype(jnp.float32), std)   # broadcast -> [B,N,N,K]
+
+
+class NumericalEmbed(nn.Module):
+    """Alternative numerical pair-feature kernel
+    (reference NumericalEmbed, models/mm_model.py:271-323): sigmoid-gated
+    edge-type embedding plus an MLP+LayerNorm projection of the raw distance.
+    Selected via UniMolEncoderConfig.kernel == 'numerical'."""
+
+    kernels: int = 128
+    edge_types: int = 1024
+    activation_fn: str = "gelu"
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray, edge_type: jnp.ndarray) -> jnp.ndarray:
+        from mmdti_tpu.models.layers import NonLinearHead
+
+        K = self.kernels
+        mul = self.param("mul", nn.initializers.ones, (self.edge_types, 1))
+        bias = self.param("bias", nn.initializers.zeros, (self.edge_types, 1))
+        w_edge = self.param(
+            "w_edge", nn.initializers.kaiming_normal(), (self.edge_types, K)
+        )
+        m = jnp.take(mul, edge_type, axis=0)
+        b = jnp.take(bias, edge_type, axis=0)
+        w = jnp.take(w_edge, edge_type, axis=0)                   # [B,N,N,K]
+        x = dist.astype(jnp.float32)[..., None]
+        edge_emb = w * nn.sigmoid(m * x + b)
+
+        proj = NonLinearHead(K, self.activation_fn, hidden=2 * K, name="proj")(x)
+        proj = nn.LayerNorm(name="ln")(proj)
+        return proj + edge_emb

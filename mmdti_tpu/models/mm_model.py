@@ -75,11 +75,21 @@ class MMModel(nn.Module):
             self.atom_vocab_size, ucfg.embed_dim, dtype=self.dtype,
             embedding_init=bert_normal_init(), name="embed_tokens",
         )(src_tokens)
-        gbf_feat = GaussianLayer(
-            kernels=ucfg.gaussian_kernels,
-            edge_types=self.atom_vocab_size * self.atom_vocab_size,
-            name="gbf",
-        )(src_distance, src_edge_type)                       # [B,N,N,K] fp32
+        if ucfg.kernel == "gaussian":
+            gbf_feat = GaussianLayer(
+                kernels=ucfg.gaussian_kernels,
+                edge_types=self.atom_vocab_size * self.atom_vocab_size,
+                name="gbf",
+            )(src_distance, src_edge_type)                   # [B,N,N,K] fp32
+        else:
+            from mmdti_tpu.models.gaussian import NumericalEmbed
+
+            gbf_feat = NumericalEmbed(
+                kernels=ucfg.gaussian_kernels,
+                edge_types=self.atom_vocab_size * self.atom_vocab_size,
+                activation_fn=ucfg.activation_fn,
+                name="gbf",
+            )(src_distance, src_edge_type)
         bias = NonLinearHead(
             ucfg.attention_heads, ucfg.activation_fn, dtype=self.dtype, name="gbf_proj"
         )(gbf_feat.astype(self.dtype))                        # [B,N,N,H]
