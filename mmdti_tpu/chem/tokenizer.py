@@ -71,6 +71,7 @@ class SmilesTokenizer:
         self.eos_token_id = self.vocab["</s>"]
         self.unk_token_id = self.vocab["<unk>"]
         self.max_len = max_len
+        self._encode_cache: Dict[str, List[int]] = {}
 
     @property
     def vocab_size(self) -> int:
@@ -90,10 +91,16 @@ class SmilesTokenizer:
         return toks
 
     def encode(self, smiles: str, truncation: bool = True) -> List[int]:
+        cached = self._encode_cache.get(smiles)
+        if cached is not None:
+            return cached
         ids = [self.vocab.get(t, self.unk_token_id) for t in self.tokenize(smiles)]
         if truncation and len(ids) > self.max_len - 2:
             ids = ids[: self.max_len - 2]
-        return [self.bos_token_id] + ids + [self.eos_token_id]
+        out = [self.bos_token_id] + ids + [self.eos_token_id]
+        if len(self._encode_cache) < 1_000_000:
+            self._encode_cache[smiles] = out
+        return out
 
     def __call__(
         self,

@@ -156,6 +156,26 @@ class MolDataLoader:
             yield self.collate_fn([self.dataset[i] for i in sel])
 
 
+class CachedLoader:
+    """Materializes a (deterministic) loader's batches on first iteration.
+
+    Used for the validation and FDS-sweep loops, whose batch composition is
+    static across epochs — collation + tokenization then happen once instead
+    of every epoch."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self._cache = None
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        if self._cache is None:
+            self._cache = list(self.loader)
+        return iter(self._cache)
+
+
 def dataset_pad_lengths(
     features: Sequence[Dict[str, Any]],
     tokenizer,

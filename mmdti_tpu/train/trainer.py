@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmdti_tpu.data.batching import MolDataLoader
+from mmdti_tpu.data.batching import CachedLoader, MolDataLoader
 from mmdti_tpu.data.pipeline import prefetch_to_device
 from mmdti_tpu.losses.contrastive import CT_REGISTRY
 from mmdti_tpu.losses.fds import (
@@ -225,6 +225,9 @@ class Trainer:
         eval_step = self.build_eval_step(model, loss_fn, activation_fn)
 
         base_rng = jax.random.PRNGKey(self.seed)
+        fds_loader = None
+        valid_loader = CachedLoader(MolDataLoader(valid_dataset, self.batch_size, collate_fn))
+        best_params, best_fds = params, fds_state
         min_val_loss = float("inf")
         best_score = self.metrics.initial_best() if self.metrics else None
         use_metric_stop = isinstance(self.metrics_str, str) and self.metrics_str not in (
@@ -267,8 +270,13 @@ class Trainer:
 
             # ---- FDS epoch pass: on-device feature sweep + stats update ----
             if self.fds and fds_state is not None and epoch >= fds_start_update:
+                if fds_loader is None:
+                    fds_loader = CachedLoader(MolDataLoader(
+                        train_dataset, self.batch_size, collate_fn,
+                        shuffle=False, drop_last=True,
+                    ))
                 feats_list, label_list = [], []
-                for batch, labels in train_loader:
+                for batch, labels in fds_loader:
                     fb, _ = self._split_batch(batch)
                     fb = shard_batch(self.mesh, fb)
                     _, _, pooled, _ = eval_step(params, fb, self._labels_device(labels))
@@ -290,6 +298,7 @@ class Trainer:
                 model, params, valid_dataset, loss_fn, activation_fn,
                 dump_dir, fold, target_scaler, collate_fn,
                 epoch=epoch, load_model=False, eval_step=eval_step,
+                loader=valid_loader,
             )
             total_val_loss = float(np.mean(val_losses))
             first_metric = next(iter(metric_score)) if metric_score else "loss"
@@ -303,24 +312,31 @@ class Trainer:
             )
 
             # ---- early stop + best checkpoint --------------------------------
+            # Best weights are kept as a *device* copy; the host+disk
+            # serialization happens once after training (device->host pulls
+            # of the full param tree are expensive over thin host links).
+            improved = False
             if use_metric_stop and self.metrics:
                 if self.metrics.is_improvement(first_score, best_score):
                     best_score = first_score
-                    wait = 0
-                    save_checkpoint(dump_dir, fold, params, fds_state)
-                else:
-                    wait += 1
+                    improved = True
             else:
                 if total_val_loss <= min_val_loss:
                     min_val_loss = total_val_loss
-                    wait = 0
-                    save_checkpoint(dump_dir, fold, params, fds_state)
-                else:
-                    wait += 1
+                    improved = True
+            if improved:
+                wait = 0
+                best_params = jax.tree.map(jnp.copy, params)
+                best_fds = (
+                    jax.tree.map(jnp.copy, fds_state) if fds_state is not None else None
+                )
+            else:
+                wait += 1
             if wait >= self.patience:
                 logger.warning("Early stopping at epoch: %d", epoch + 1)
                 break
 
+        save_checkpoint(dump_dir, fold, best_params, best_fds)
         # final predict with best weights
         y_preds, _, _ = self.predict(
             model, params, valid_dataset, loss_fn, activation_fn,
@@ -343,6 +359,7 @@ class Trainer:
         epoch: int = 1,
         load_model: bool = False,
         eval_step=None,
+        loader=None,
     ):
         if load_model:
             ckpt = load_checkpoint(dump_dir, fold)
@@ -350,7 +367,8 @@ class Trainer:
             logger.info("load model success!")
         if eval_step is None:
             eval_step = self.build_eval_step(model, loss_fn, activation_fn)
-        loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
+        if loader is None:
+            loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
 
         y_preds, y_truths, val_losses = [], [], []
         for batch, labels in loader:
