@@ -16,6 +16,7 @@ model at batch 32 with per-step time ~0.1-0.15s => ~250 molecules/sec.
 BASELINE.md's north star is >=5x that (>=1250 mols/sec/chip).
 """
 
+import functools
 import json
 import os
 import sys
@@ -61,7 +62,7 @@ def main():
         ct = ct_regress(out["pooled"], y, out["logits"], w)
         return task + 0.1 * out["infonce_loss"] + 0.1 * ct
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, opt, feats, y, w, step):
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(1), step)
         loss, grads = jax.value_and_grad(loss_fn)(p, feats, y, w, dropout_rng)

@@ -68,6 +68,40 @@ def load_checkpoint(dump_dir: str, fold: int) -> Dict[str, Any]:
         return flax.serialization.msgpack_restore(f.read())
 
 
+# ---- full train-state checkpointing (mid-training resume; capability the
+# reference lacks — it saves best weights only, tasks/trainer.py:373-379) ----
+
+def train_state_path(dump_dir: str, fold: int) -> str:
+    return os.path.join(dump_dir, f"train_state_{fold}.ckpt")
+
+
+def save_train_state(dump_dir, fold, params, opt_state, fds_state, epoch, global_step):
+    os.makedirs(dump_dir, exist_ok=True)
+    blob = flax.serialization.msgpack_serialize(
+        {
+            "params": jax.tree.map(np.asarray, params),
+            "opt_state": flax.serialization.to_state_dict(
+                jax.tree.map(np.asarray, opt_state)
+            ),
+            "fds": jax.tree.map(np.asarray, fds_state) if fds_state is not None else {},
+            "epoch": np.asarray(epoch),
+            "global_step": np.asarray(global_step),
+        }
+    )
+    tmp = train_state_path(dump_dir, fold) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, train_state_path(dump_dir, fold))
+
+
+def load_train_state(dump_dir, fold, opt_state_template):
+    with open(train_state_path(dump_dir, fold), "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    opt_state = flax.serialization.from_state_dict(opt_state_template, raw["opt_state"])
+    fds = raw["fds"] if raw["fds"] else None
+    return raw["params"], opt_state, fds, int(raw["epoch"]), int(raw["global_step"])
+
+
 class Trainer:
     def __init__(self, save_path: Optional[str] = None, **params):
         self.save_path = save_path
@@ -86,6 +120,9 @@ class Trainer:
         self.beta = float(params.get("beta", 0.1))
         self.fds = params.get("fds", False)
         self.ct_w = float(params.get("ct_w", 0.2))
+        # full-state checkpointing every N epochs (0 = off) + resume
+        self.checkpoint_interval = int(params.get("checkpoint_interval", 0) or 0)
+        self.resume = bool(params.get("resume", False))
         mesh_shape = params.get("mesh_shape", None)
         self.mesh = params.get("mesh", None) or make_mesh(
             tuple(mesh_shape) if mesh_shape else None
@@ -224,6 +261,18 @@ class Trainer:
         )
         eval_step = self.build_eval_step(model, loss_fn, activation_fn)
 
+        start_epoch = 0
+        global_step = 0
+        if self.resume and os.path.exists(train_state_path(dump_dir, fold)):
+            p_h, opt_state, fds_h, last_epoch, global_step = load_train_state(
+                dump_dir, fold, opt_state
+            )
+            params = replicate(self.mesh, p_h)
+            if fds_h is not None:
+                fds_state = replicate(self.mesh, fds_h)
+            start_epoch = last_epoch + 1
+            logger.info("Resumed train state from epoch %d", last_epoch)
+
         base_rng = jax.random.PRNGKey(self.seed)
         fds_loader = None
         valid_loader = CachedLoader(MolDataLoader(valid_dataset, self.batch_size, collate_fn))
@@ -234,7 +283,6 @@ class Trainer:
             "loss", "none", "",
         )
         wait = 0
-        global_step = 0
 
         bsh = batch_sharding(self.mesh)
 
@@ -251,7 +299,7 @@ class Trainer:
             )
             return feats, labels_d, w_d
 
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             epoch_metrics = []
             for feats, labels_d, w_d in prefetch_to_device(train_loader, put_on_device):
@@ -332,6 +380,10 @@ class Trainer:
                 )
             else:
                 wait += 1
+            if self.checkpoint_interval and (epoch + 1) % self.checkpoint_interval == 0:
+                save_train_state(
+                    dump_dir, fold, params, opt_state, fds_state, epoch, global_step
+                )
             if wait >= self.patience:
                 logger.warning("Early stopping at epoch: %d", epoch + 1)
                 break

@@ -164,3 +164,58 @@ class TestOverfit:
             params, opt, l = step(params, opt, feats, labels)
             losses.append(float(l))
         assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+
+class TestResume:
+    def test_train_state_roundtrip(self, tmp_path):
+        from mmdti_tpu.train.trainer import load_train_state, save_train_state
+
+        model = _tiny_model()
+        feats, _ = _batch(B=2)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
+        tx, _ = make_optimizer(1e-3, 100, 0.1, 1.0)
+        opt_state = tx.init(params)
+        save_train_state(str(tmp_path), 0, params, opt_state, None, epoch=3, global_step=40)
+        p2, o2, fds2, epoch, step = load_train_state(str(tmp_path), 0, tx.init(params))
+        assert epoch == 3 and step == 40 and fds2 is None
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestDeterminism:
+    def test_two_runs_identical(self):
+        """Fixed-seed end-to-end determinism (SURVEY §4)."""
+        model = _tiny_model()
+        feats, labels = _batch(B=4)
+        tx, _ = make_optimizer(1e-3, 20, 0.1, 1.0)
+
+        def run():
+            key = jax.random.PRNGKey(7)
+            params = model.init(
+                {"params": key, "dropout": key}, **feats, deterministic=True
+            )["params"]
+            opt = tx.init(params)
+
+            @jax.jit
+            def step(p, o, i):
+                def lf(p):
+                    out = model.apply(
+                        {"params": p}, **feats, deterministic=False,
+                        rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(7), i)},
+                    )
+                    return jnp.mean((out["logits"] - labels) ** 2) + 0.1 * out["infonce_loss"]
+
+                loss, g = jax.value_and_grad(lf)(p)
+                u, o = tx.update(g, o, p)
+                return jax.tree.map(lambda a, b: a + b, p, u), o, loss
+
+            losses = []
+            for i in range(3):
+                params, opt, l = step(params, opt, i)
+                losses.append(float(l))
+            return losses
+
+        np.testing.assert_array_equal(run(), run())
