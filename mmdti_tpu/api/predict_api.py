@@ -89,7 +89,7 @@ class MolPredict:
                 self.datahub.data["unimol_input"], np.asarray(self.datahub.data["target"])
             )
             self.cv_repr = self.trainer.inference(
-                self.model.model, self.model.params, dataset, self.model.collator
+                self.model.model_infer, self.model.params, dataset, self.model.collator
             )
         return y_pred
 

@@ -89,27 +89,37 @@ class NNModel:
         )
 
         # model --------------------------------------------------------------------
-        # 'auto' currently resolves to the XLA attention path: at the flagship
-        # shapes (head_dim 8, N<=258) XLA's fused qk+bias+softmax+pv chain
-        # measured ~2x faster than the Pallas kernel (see
-        # ops/pallas_attention.py); the kernel stays available via
-        # use_pallas=True and is numerics-validated against the XLA oracle.
+        # Attention path policy (measured on v5e at flagship shapes, see
+        # ops/pallas_attention.py): XLA autodiff wins for training
+        # (fwd+bwd 1.55ms vs 1.78ms) but the fused Pallas kernel wins for
+        # inference (full-model fwd 0.32ms vs 0.43ms, +33% mols/s).  'auto'
+        # therefore trains on XLA and serves on Pallas when running on TPU;
+        # True/False force both paths.
         use_pallas = params.get("use_pallas", "auto")
         if use_pallas == "auto":
-            use_pallas = False
-        self.model = build_model(
-            output_dim=self.output_dim,
-            atom_vocab_size=len(self.dictionary),
-            atom_pad_idx=self.dictionary.pad(),
-            task=self.task,
-            smiles_vocab_size=getattr(self.tokenizer, "vocab_size", 600),
-            use_fds=self.use_fds,
-            fds_num=self.fds_num,
-            compute_dtype=params.get("compute_dtype", "bfloat16"),
-            use_pallas=bool(use_pallas),
-            unimol_overrides=dict(params["unimol_overrides"]) if params.get("unimol_overrides") else None,
-            chemberta_overrides=dict(params["chemberta_overrides"]) if params.get("chemberta_overrides") else None,
-        )
+            train_pallas = False
+            infer_pallas = jax.default_backend() == "tpu"
+        else:
+            train_pallas = infer_pallas = bool(use_pallas)
+
+        def _build(pallas_flag):
+            return build_model(
+                output_dim=self.output_dim,
+                atom_vocab_size=len(self.dictionary),
+                atom_pad_idx=self.dictionary.pad(),
+                task=self.task,
+                smiles_vocab_size=getattr(self.tokenizer, "vocab_size", 600),
+                use_fds=self.use_fds,
+                fds_num=self.fds_num,
+                compute_dtype=params.get("compute_dtype", "bfloat16"),
+                use_pallas=pallas_flag,
+                unimol_overrides=dict(params["unimol_overrides"]) if params.get("unimol_overrides") else None,
+                chemberta_overrides=dict(params["chemberta_overrides"]) if params.get("chemberta_overrides") else None,
+            )
+
+        self.model = _build(train_pallas)
+        # same param tree, Pallas attention inner op — used for eval/serving
+        self.model_infer = self.model if infer_pallas == train_pallas else _build(infer_pallas)
         self.params = self._init_params(params)
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         logger.info("Number of trainable parameters: %d", n_params)
@@ -232,7 +242,7 @@ class NNModel:
         ckpt = load_checkpoint(checkpoints_path, 0)
         self.params = ckpt["params"]
         y_pred, _, _ = trainer.predict(
-            self.model, self.params, testdataset, self.loss_func, self.activation_fn,
+            self.model_infer, self.params, testdataset, self.loss_func, self.activation_fn,
             checkpoints_path, 0, self.target_scaler, self.collator, load_model=True,
         )
         self.cv["test_pred"] = y_pred
