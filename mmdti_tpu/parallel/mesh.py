@@ -25,6 +25,37 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) initialization.  Call once per host before building
+    the mesh; afterwards jax.devices() spans the pod slice and each host feeds
+    its local batch shard (jax.make_array_from_process_local_data)."""
+    import jax.distributed
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def local_batch_to_global(mesh: Mesh, batch: dict) -> dict:
+    """Assemble per-host local batch shards into global arrays (multi-host)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
 def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
     """mesh_shape = (data, model); default all devices on the data axis."""
     devices = list(devices if devices is not None else jax.devices())
