@@ -35,6 +35,9 @@ class UniMolEncoderConfig:
     kernel: str = "gaussian"
     gaussian_kernels: int = 128     # K
     delta_pair_repr_norm_loss: float = -1.0
+    # rematerialize each encoder layer in the backward pass (trades ~30%
+    # compute for activation memory; useful at max_atoms-scale sequences)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -106,10 +106,15 @@ class UniMolEncoder(nn.Module):
 
         input_bias = attn_bias.astype(jnp.float32)
         bias = merge_padding_into_bias(input_bias, padding_mask)
+        layer_cls = (
+            nn.remat(PairBiasEncoderLayer, static_argnums=(3,))
+            if cfg.remat
+            else PairBiasEncoderLayer
+        )
         for i in range(cfg.encoder_layers):
-            x, bias = PairBiasEncoderLayer(
+            x, bias = layer_cls(
                 cfg, dtype=self.dtype, use_pallas=self.use_pallas, name=f"layers_{i}"
-            )(x, bias, deterministic=deterministic)
+            )(x, bias, deterministic)
 
         token_norm = _norm_loss(x)
         if padding_mask is not None:
