@@ -74,6 +74,26 @@ class NNModel:
         self.loss_func = resolve_loss(self.task, self.loss_key)
         self.activation_fn = ACTIVATION_REGISTRY[self.task]
 
+        # GHM keeps EMA bin counts across steps (reference GHM_Loss module
+        # state, models/loss.py:81-85) — threaded explicitly through the jit'd
+        # train step as (bins, initialized-flag) loss state.
+        self.stateful_loss = None
+        self.loss_state = None
+        if self.task == "multilabel_classification" and self.loss_key == "ghm":
+            from mmdti_tpu.losses import zoo
+
+            def ghm_stateful(logits, labels, state):
+                bins_arr, flag = state
+                loss_ema, bins_ema = zoo.ghmc_loss(logits, labels, bins_arr, bins=10, alpha=0.5)
+                loss_raw, bins_raw = zoo.ghmc_loss(logits, labels, None, bins=10, alpha=0.5)
+                use_ema = flag > 0
+                loss = jnp.where(use_ema, loss_ema, loss_raw)
+                new_bins = jnp.where(use_ema, bins_ema, bins_raw)
+                return loss, (new_bins, jnp.ones((), jnp.float32))
+
+            self.stateful_loss = ghm_stateful
+            self.loss_state = (jnp.zeros((10,), jnp.float32), jnp.zeros((), jnp.float32))
+
         # static pad shapes across train+test (one XLA compilation) ---------------
         pad_multiple = int(params.get("pad_multiple", 16))
         self.atom_pad, self.smiles_pad = dataset_pad_lengths(
@@ -220,6 +240,8 @@ class NNModel:
             fds_kernel=self.fds_kernel,
             fds_start_update=self.model.fds_cfg.start_update if self.fds_state is not None else 0,
             frozen_mask=self.frozen_mask,
+            stateful_loss=self.stateful_loss,
+            loss_state=self.loss_state,
         )
 
         label_cnt = self.data_train.get("multiclass_cnt")

@@ -162,11 +162,15 @@ class Trainer:
         use_ct: bool,
         use_weight: bool,
         fds_bucket=(0.0, 1.0),
+        stateful_loss=None,
     ):
+        """stateful_loss: optional fn(logits, labels, state) -> (loss, state)
+        replacing loss_fn — used for GHM's EMA bin counts (the reference keeps
+        them as module state across steps, models/loss.py:81-85)."""
         ct_fn = CT_REGISTRY.get(self.task) if use_ct else None
         alpha, beta, ct_w = self.alpha, self.beta, self.ct_w
 
-        def loss_inner(params, fds_state, feats, labels, weights, epoch, rng):
+        def loss_inner(params, fds_state, loss_state, feats, labels, weights, epoch, rng):
             out = model.apply(
                 {"params": params},
                 **feats,
@@ -177,7 +181,11 @@ class Trainer:
                 fds_bucket=fds_bucket,
                 rngs={"dropout": rng},
             )
-            task_loss = loss_fn(out["logits"], labels)
+            if stateful_loss is not None:
+                task_loss, new_loss_state = stateful_loss(out["logits"], labels, loss_state)
+            else:
+                task_loss = loss_fn(out["logits"], labels)
+                new_loss_state = loss_state
             total = alpha * task_loss
             infonce = out["infonce_loss"]
             if use_infonce:
@@ -190,17 +198,20 @@ class Trainer:
                 total = total + beta * ct
             else:
                 ct = jnp.zeros(())
-            return total, {"loss": total, "m_loss": task_loss,
-                           "infonce_loss": infonce, "ct_loss": ct}
+            aux = {"loss": total, "m_loss": task_loss,
+                   "infonce_loss": infonce, "ct_loss": ct}
+            return total, (aux, new_loss_state)
 
         grad_fn = jax.value_and_grad(loss_inner, has_aux=True)
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, fds_state, feats, labels, weights, epoch, rng):
-            (_, metrics), grads = grad_fn(params, fds_state, feats, labels, weights, epoch, rng)
+        def train_step(params, opt_state, fds_state, loss_state, feats, labels, weights, epoch, rng):
+            (_, (metrics, loss_state)), grads = grad_fn(
+                params, fds_state, loss_state, feats, labels, weights, epoch, rng
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return params, opt_state, metrics
+            return params, opt_state, loss_state, metrics
 
         return train_step
 
@@ -236,6 +247,8 @@ class Trainer:
         fds_kernel=None,
         fds_start_update: int = 0,
         frozen_mask=None,
+        stateful_loss=None,
+        loss_state=None,
     ):
         train_loader = MolDataLoader(
             train_dataset, self.batch_size, collate_fn,
@@ -257,8 +270,11 @@ class Trainer:
             fds_state = replicate(self.mesh, fds_state)
 
         train_step = self.build_train_step(
-            model, tx, loss_fn, use_infonce, use_ct, use_weight, fds_bucket
+            model, tx, loss_fn, use_infonce, use_ct, use_weight, fds_bucket,
+            stateful_loss=stateful_loss,
         )
+        if loss_state is None:
+            loss_state = jnp.zeros((0,), jnp.float32)  # placeholder pytree leaf
         eval_step = self.build_eval_step(model, loss_fn, activation_fn)
 
         start_epoch = 0
@@ -304,8 +320,8 @@ class Trainer:
             epoch_metrics = []
             for feats, labels_d, w_d in prefetch_to_device(train_loader, put_on_device):
                 rng = jax.random.fold_in(base_rng, global_step)
-                params, opt_state, m = train_step(
-                    params, opt_state, fds_state, feats, labels_d, w_d,
+                params, opt_state, loss_state, m = train_step(
+                    params, opt_state, fds_state, loss_state, feats, labels_d, w_d,
                     jnp.asarray(epoch, jnp.float32), rng,
                 )
                 epoch_metrics.append(m)

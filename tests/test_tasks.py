@@ -1,0 +1,64 @@
+"""Task-surface e2e: multiclass and multilabel classification (incl. the GHM
+stateful loss), through the public MolTrain/MolPredict API."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SMALL_ARCH, SMILES_20
+
+
+def _csvs(tmp_path, columns):
+    rng = np.random.RandomState(1)
+    data = {"smiles": SMILES_20}
+    data.update({c: gen(rng) for c, gen in columns.items()})
+    df = pd.DataFrame(data)
+    train, val = str(tmp_path / "train.csv"), str(tmp_path / "val.csv")
+    df.iloc[:16].to_csv(train, index=False)
+    df.iloc[16:].to_csv(val, index=False)
+    return train, val
+
+
+class TestMulticlass:
+    def test_fit_predict(self, tmp_path):
+        from mmdti_tpu import MolPredict, MolTrain
+
+        train, val = _csvs(tmp_path, {"cls": lambda r: r.randint(0, 3, len(SMILES_20))})
+        exp = str(tmp_path / "exp")
+        MolTrain(
+            task="multiclass", epochs=1, batch_size=8, metrics="acc",
+            smiles_col="smiles", save_path=exp, target_cols=["cls"],
+            seed=0, compute_dtype="float32", use_pallas=False, **SMALL_ARCH,
+        ).fit(train, val)
+        y = MolPredict(load_model=exp).predict(val, save_path=str(tmp_path / "out"))
+        assert y.shape == (4, 3)  # per-class probabilities
+        np.testing.assert_allclose(y.sum(axis=1), 1.0, atol=1e-5)
+        out_csv = [f for f in os.listdir(tmp_path / "out") if f.endswith(".csv")][0]
+        df = pd.read_csv(tmp_path / "out" / out_csv)
+        assert {"prob_0", "prob_1", "prob_2", "predict_cls"} <= set(df.columns)
+
+
+class TestMultilabelGHM:
+    def test_fit_predict_ghm(self, tmp_path):
+        from mmdti_tpu import MolPredict, MolTrain
+
+        train, val = _csvs(
+            tmp_path,
+            {
+                "t1": lambda r: r.randint(0, 2, len(SMILES_20)),
+                "t2": lambda r: r.randint(0, 2, len(SMILES_20)),
+            },
+        )
+        exp = str(tmp_path / "exp")
+        MolTrain(
+            task="multilabel_classification", epochs=2, batch_size=8, metrics="auc",
+            smiles_col="smiles", save_path=exp, target_cols=["t1", "t2"],
+            loss_key="ghm", seed=0, compute_dtype="float32", use_pallas=False,
+            **SMALL_ARCH,
+        ).fit(train, val)
+        assert os.path.exists(os.path.join(exp, "threshold.dat"))
+        y = MolPredict(load_model=exp).predict(val)
+        assert y.shape == (4, 2)
+        assert ((y >= 0) & (y <= 1)).all()  # sigmoid probs
