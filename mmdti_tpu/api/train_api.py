@@ -14,7 +14,7 @@ from typing import Optional
 import joblib
 import numpy as np
 
-from mmdti_tpu.configs.config import Config, default_config, save_yaml
+from mmdti_tpu.configs.config import default_config, save_yaml
 from mmdti_tpu.data.hub import DataHub
 from mmdti_tpu.train.nnmodel import NNModel
 from mmdti_tpu.train.trainer import Trainer

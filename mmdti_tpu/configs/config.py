@@ -11,7 +11,7 @@ reloads it verbatim.
 from __future__ import annotations
 
 import copy
-from typing import Any, Dict, Iterable
+from typing import Any, Dict
 
 import yaml
 

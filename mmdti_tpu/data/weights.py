@@ -12,7 +12,6 @@ data/datahub.py:128-132).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 from scipy.ndimage import convolve1d, gaussian_filter1d

@@ -11,7 +11,6 @@ from scratch on the built-in SMILES tokenizer vocabulary.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

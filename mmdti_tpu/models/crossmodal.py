@@ -10,7 +10,6 @@ streams first.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -80,64 +80,6 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, logits_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref, *, dropout_rate: float):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    logits = logits_ref[0]
-    g_out = gout_ref[0].astype(jnp.float32)
-    g_log = glog_ref[0]
-    scale = q.shape[-1] ** -0.5
-
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    p = jnp.exp(logits - m)
-    s = jnp.sum(p, axis=-1, keepdims=True)
-    probs = p / jnp.maximum(s, 1e-30)
-
-    if dropout_rate > 0.0:
-        keep = _dropout_mask(seed_ref, probs.shape, dropout_rate)
-        dropped = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-        dmask = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
-    else:
-        dropped = probs
-        dmask = None
-
-    # dv[h,nk,d] = sum_nq dropped[h,nq,nk] * g_out[h,nq,d]
-    dv = jax.lax.dot_general(
-        dropped, g_out,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-    # dp[h,nq,nk] = sum_d g_out[h,nq,d] * v[h,nk,d]   (through dropout)
-    dp = jax.lax.dot_general(
-        g_out, v,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if dmask is not None:
-        dp = dp * dmask
-    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dl = dl + g_log
-    dbias_ref[0] = dl
-
-    dq = jax.lax.dot_general(
-        dl, k,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk = jax.lax.dot_general(
-        dl, q,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-
-
 def _head_chunk(H: int, N: int, n_mats: int) -> int:
     """Largest divisor of H whose [hc,N,N] fp32 working set (n_mats matrices,
     double-buffered) stays within ~half of the 16MB VMEM."""
