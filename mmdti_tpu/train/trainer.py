@@ -123,6 +123,8 @@ class Trainer:
         # full-state checkpointing every N epochs (0 = off) + resume
         self.checkpoint_interval = int(params.get("checkpoint_interval", 0) or 0)
         self.resume = bool(params.get("resume", False))
+        # train steps fused per device dispatch (amortizes host/RPC latency)
+        self.steps_per_call = int(params.get("steps_per_call", 4) or 1)
         mesh_shape = params.get("mesh_shape", None)
         self.mesh = params.get("mesh", None) or make_mesh(
             tuple(mesh_shape) if mesh_shape else None
@@ -169,6 +171,7 @@ class Trainer:
         them as module state across steps, models/loss.py:81-85)."""
         ct_fn = CT_REGISTRY.get(self.task) if use_ct else None
         alpha, beta, ct_w = self.alpha, self.beta, self.ct_w
+        steps_per_call = self.steps_per_call
 
         def loss_inner(params, fds_state, loss_state, feats, labels, weights, epoch, rng):
             out = model.apply(
@@ -204,8 +207,7 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(loss_inner, has_aux=True)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, fds_state, loss_state, feats, labels, weights, epoch, rng):
+        def one_step(params, opt_state, fds_state, loss_state, feats, labels, weights, epoch, rng):
             (_, (metrics, loss_state)), grads = grad_fn(
                 params, fds_state, loss_state, feats, labels, weights, epoch, rng
             )
@@ -213,7 +215,29 @@ class Trainer:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss_state, metrics
 
-        return train_step
+        train_step = partial(jax.jit, donate_argnums=(0, 1))(one_step)
+
+        if steps_per_call <= 1:
+            return train_step, None
+
+        # multi-step variant: lax.scan over K pre-staged batches per dispatch
+        # (amortizes host->device dispatch latency; same math as K single steps)
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_steps(params, opt_state, fds_state, loss_state, feats_k, labels_k,
+                        weights_k, epoch, rngs_k):
+            def body(carry, xs):
+                p, o, ls = carry
+                feats, labels, weights, rng = xs
+                p, o, ls, m = one_step(p, o, fds_state, ls, feats, labels, weights, epoch, rng)
+                return (p, o, ls), m
+
+            (params, opt_state, loss_state), metrics = jax.lax.scan(
+                body, (params, opt_state, loss_state),
+                (feats_k, labels_k, weights_k, rngs_k),
+            )
+            return params, opt_state, loss_state, metrics
+
+        return train_step, train_steps
 
     def build_eval_step(self, model, loss_fn, activation_fn):
         alpha = self.alpha
@@ -269,7 +293,7 @@ class Trainer:
         if fds_state is not None:
             fds_state = replicate(self.mesh, fds_state)
 
-        train_step = self.build_train_step(
+        train_step, train_steps = self.build_train_step(
             model, tx, loss_fn, use_infonce, use_ct, use_weight, fds_bucket,
             stateful_loss=stateful_loss,
         )
@@ -315,20 +339,41 @@ class Trainer:
             )
             return feats, labels_d, w_d
 
+        K = self.steps_per_call if train_steps is not None else 1
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             epoch_metrics = []
-            for feats, labels_d, w_d in prefetch_to_device(train_loader, put_on_device):
+            epoch_f = jnp.asarray(epoch, jnp.float32)
+            pending = []
+            for item in prefetch_to_device(train_loader, put_on_device):
+                pending.append(item)
+                if len(pending) == K and K > 1:
+                    feats_k = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[0] for b in pending])
+                    labels_k = jnp.stack([b[1] for b in pending])
+                    w_k = jnp.stack([b[2] for b in pending])
+                    rngs_k = jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(
+                        jnp.arange(global_step, global_step + K)
+                    )
+                    params, opt_state, loss_state, m = train_steps(
+                        params, opt_state, fds_state, loss_state,
+                        feats_k, labels_k, w_k, epoch_f, rngs_k,
+                    )
+                    epoch_metrics.append(m)
+                    global_step += K
+                    pending = []
+            for feats, labels_d, w_d in pending:
                 rng = jax.random.fold_in(base_rng, global_step)
                 params, opt_state, loss_state, m = train_step(
                     params, opt_state, fds_state, loss_state, feats, labels_d, w_d,
-                    jnp.asarray(epoch, jnp.float32), rng,
+                    epoch_f, rng,
                 )
                 epoch_metrics.append(m)
                 global_step += 1
 
             train_means = {
-                k: float(np.mean([jax.device_get(m[k]) for m in epoch_metrics]))
+                k: float(np.mean(np.concatenate([
+                    np.atleast_1d(jax.device_get(m[k])) for m in epoch_metrics
+                ])))
                 for k in epoch_metrics[0]
             }
 
