@@ -122,6 +122,15 @@ class NNModel:
         else:
             train_pallas = infer_pallas = bool(use_pallas)
 
+        # Auto-remat the encoder for long atom sequences: at N=258 the
+        # 15 threaded [B,H,N,N] logit tensors exceed HBM for batch 32 without
+        # rematerialization (measured: OOM non-remat vs 6.6k mols/s remat),
+        # and remat is no slower even when both fit.
+        unimol_overrides = dict(params["unimol_overrides"]) if params.get("unimol_overrides") else {}
+        if "remat" not in unimol_overrides and self.atom_pad >= 160:
+            unimol_overrides["remat"] = True
+            logger.info("Auto-enabled encoder rematerialization (atom_pad=%d)", self.atom_pad)
+
         def _build(pallas_flag):
             return build_model(
                 output_dim=self.output_dim,
@@ -133,7 +142,7 @@ class NNModel:
                 fds_num=self.fds_num,
                 compute_dtype=params.get("compute_dtype", "bfloat16"),
                 use_pallas=pallas_flag,
-                unimol_overrides=dict(params["unimol_overrides"]) if params.get("unimol_overrides") else None,
+                unimol_overrides=unimol_overrides or None,
                 chemberta_overrides=dict(params["chemberta_overrides"]) if params.get("chemberta_overrides") else None,
             )
 
