@@ -102,18 +102,27 @@ class BatchCollator:
                 [np.asarray(f["weights"], dtype=np.float32).reshape(-1) for f in feats]
             )
 
-        smiles = [f["smile"] for f in feats]
-        if self.pad_mode == "dataset" and self.smiles_pad is not None:
-            tok = self.tokenizer(smiles, pad_to=self.smiles_pad)
-        elif self.pad_mode == "bucket":
-            probe = self.tokenizer(smiles)  # natural width
-            width = probe["input_ids"].shape[1]
-            target = bucket_length(width, self.smiles_buckets)
-            tok = probe if width == target else self.tokenizer(smiles, pad_to=target)
-        else:
-            tok = self.tokenizer(smiles)
-        batch["input_ids"] = tok["input_ids"].astype(np.int32)
-        batch["attention_mask"] = tok["attention_mask"].astype(np.int32)
+        # MOF auxiliary inputs (reference batch_collate_fn_mof,
+        # models/mm_model.py:619-644)
+        if "gas_id" in feats[0]:
+            batch["gas_id"] = np.asarray([f["gas_id"] for f in feats], dtype=np.int32)
+        for key in ("gas_attr", "temperature", "pressure"):
+            if key in feats[0]:
+                batch[key] = np.asarray([f[key] for f in feats], dtype=np.float32)
+
+        if "smile" in feats[0]:
+            smiles = [f["smile"] for f in feats]
+            if self.pad_mode == "dataset" and self.smiles_pad is not None:
+                tok = self.tokenizer(smiles, pad_to=self.smiles_pad)
+            elif self.pad_mode == "bucket":
+                probe = self.tokenizer(smiles)  # natural width
+                width = probe["input_ids"].shape[1]
+                target = bucket_length(width, self.smiles_buckets)
+                tok = probe if width == target else self.tokenizer(smiles, pad_to=target)
+            else:
+                tok = self.tokenizer(smiles)
+            batch["input_ids"] = tok["input_ids"].astype(np.int32)
+            batch["attention_mask"] = tok["attention_mask"].astype(np.int32)
 
         labels = np.stack([np.asarray(s[1]) for s in samples])
         return batch, labels

@@ -89,3 +89,23 @@ class TestHeads:
         out = m.apply(v, p, t)
         assert out.shape == (2, 24)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestMofCollation:
+    def test_mof_batch(self, cif_path):
+        from mmdti_tpu.chem import SmilesTokenizer
+        from mmdti_tpu.data import BatchCollator, MolDataset
+
+        reader = MOFReader()
+        samples = [reader.read_with_gas(cif_path, g) for g in ("CO2", "CH4", "N2")]
+        for s, (t, p) in zip(samples, [(298.0, 1.0), (273.0, 5.0), (310.0, 2.0)]):
+            s["temperature"], s["pressure"] = t, p
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="dataset",
+                             atom_pad=16, smiles_pad=None)
+        ds = MolDataset(samples, np.zeros((3, 1)))
+        batch, labels = coll([ds[i] for i in range(3)])
+        assert batch["src_tokens"].shape == (3, 16)
+        assert batch["gas_id"].tolist() == [2, 1, 8]
+        assert batch["gas_attr"].shape == (3, 6)
+        assert batch["temperature"].shape == (3,)
+        assert "input_ids" not in batch  # no SMILES stream for MOF samples
