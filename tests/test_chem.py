@@ -166,3 +166,43 @@ class TestTokenizer:
 
     def test_deterministic_vocab(self):
         assert SmilesTokenizer().vocab == SmilesTokenizer().vocab
+
+
+class TestParserEdgeCases:
+    def test_percent_ring_closures(self):
+        from mmdti_tpu.chem import parse_smiles
+
+        mol = parse_smiles("C%10CCCCC%10")  # cyclohexane via %nn
+        assert sum(a.in_ring for a in mol.atoms) == 6
+
+    def test_isotopes_and_charges(self):
+        from mmdti_tpu.chem import parse_smiles
+
+        mol = parse_smiles("[13CH3][N+](C)(C)C.[Cl-]")
+        assert mol.atoms[0].isotope == 13
+        assert mol.atoms[1].charge == 1
+        assert mol.atoms[-1].charge == -1
+
+    def test_nested_branches(self):
+        from mmdti_tpu.chem import parse_smiles
+
+        mol = parse_smiles("CC(C(C)(C)C)C(=O)O")
+        assert mol.num_atoms() == 9
+
+    def test_directional_bonds_parse_as_single(self):
+        from mmdti_tpu.chem import parse_smiles
+
+        mol = parse_smiles("C/C=C/C")
+        orders = sorted(b.order for b in mol.bonds)
+        assert orders == [1.0, 1.0, 2.0]
+
+
+class TestConformerGolden:
+    def test_energy_model_stability(self):
+        """Golden digest guards accidental changes to the conformer energy
+        model (which would silently invalidate feature caches)."""
+        import hashlib
+
+        atoms, coords = smi2coords("CC(=O)Oc1ccccc1C(=O)O", seed=42)
+        digest = hashlib.sha1(np.round(coords, 4).tobytes()).hexdigest()[:12]
+        assert digest == "57ca47501619", digest

@@ -209,3 +209,30 @@ class TestSplits:
         assert len(folds) == 5
         with pytest.raises(ValueError):
             Splitter("5fold_bogus")
+
+
+class TestBucketCollation:
+    def test_bucket_shapes_limited(self):
+        from mmdti_tpu.chem import SmilesTokenizer
+
+        rng = np.random.RandomState(0)
+        feats = []
+        for i in range(12):
+            k = rng.randint(4, 40)
+            feats.append({
+                "src_tokens": np.concatenate([[0], rng.randint(4, 20, k), [2]]),
+                "src_distance": rng.rand(k + 2, k + 2).astype(np.float32),
+                "src_edge_type": rng.randint(0, 100, (k + 2, k + 2)),
+                "smile": "C" * rng.randint(2, 30),
+                "weights": np.float32(1.0),
+            })
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="bucket",
+                             atom_buckets=(16, 32, 64), smiles_buckets=(16, 32, 64))
+        ds = MolDataset(feats, np.zeros((12, 1)))
+        atom_shapes = set()
+        for batch, _ in MolDataLoader(ds, 3, coll):
+            n = batch["src_tokens"].shape[1]
+            atom_shapes.add(n)
+            assert n in (16, 32, 64)
+            assert batch["input_ids"].shape[1] in (16, 32, 64)
+        assert len(atom_shapes) <= 3
