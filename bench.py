@@ -14,6 +14,10 @@ kernels) cannot run in this environment, so the baseline is an *estimate* of
 the reference pipeline on its intended single-GPU setup: a ~55M-param fp16
 model at batch 32 with per-step time ~0.1-0.15s => ~250 molecules/sec.
 BASELINE.md's north star is >=5x that (>=1250 mols/sec/chip).
+
+Methodology: sustained throughput — long step chain with hard host syncs at
+the boundaries.  (Short pipelined loops through the async dispatch queue
+report up to 10x optimistic numbers; see CLAUDE.md.)
 """
 
 import functools
@@ -29,8 +33,8 @@ ESTIMATED_REFERENCE_MOLS_PER_SEC = 250.0
 BATCH = 32
 N_ATOMS = 64
 N_SMILES = 64
-WARMUP = 3
-STEPS = 30
+WARMUP = 5
+STEPS = 200
 
 
 def main():
@@ -72,14 +76,14 @@ def main():
 
     for i in range(WARMUP):
         params, opt_state, loss = train_step(params, opt_state, feats, labels, weights, i)
-    jax.block_until_ready(loss)
+    float(loss)  # hard host sync drains the dispatch queue
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         params, opt_state, loss = train_step(
             params, opt_state, feats, labels, weights, WARMUP + i
         )
-    jax.block_until_ready(loss)
+    float(loss)  # hard sync: every step in the chain has completed
     dt = time.perf_counter() - t0
 
     mols_per_sec = BATCH * STEPS / dt

@@ -38,6 +38,10 @@ class UniMolEncoderConfig:
     # rematerialize each encoder layer in the backward pass (trades ~30%
     # compute for activation memory; useful at max_atoms-scale sequences)
     remat: bool = False
+    # storage dtype of the layer-threaded [B,H,N,N] pair logits; accumulation
+    # stays fp32.  'bfloat16' halves the hottest HBM traffic and matches the
+    # reference's fp16-AMP envelope; 'float32' for exact-oracle numerics.
+    pair_dtype: str = "float32"
 
     @property
     def head_dim(self) -> int:

@@ -46,6 +46,7 @@ class PairBiasEncoderLayer(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         rng = self.make_rng("dropout") if (not deterministic and cfg.attention_dropout > 0) else None
+        pair_dtype = jnp.dtype(cfg.pair_dtype)
         if self.use_pallas:
             from mmdti_tpu.ops.pallas_attention import pair_bias_attention_pallas
 
@@ -54,11 +55,13 @@ class PairBiasEncoderLayer(nn.Module):
                 dropout_rate=cfg.attention_dropout,
                 dropout_rng=rng, deterministic=deterministic,
             )
+            new_bias = new_bias.astype(pair_dtype)
         else:
             attn, new_bias = pair_bias_attention_xla(
                 q, k, v, bias,
                 dropout_rate=cfg.attention_dropout,
                 dropout_rng=rng, deterministic=deterministic,
+                pair_dtype=pair_dtype,
             )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, N, E)
         attn = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="out_proj")(attn)
@@ -104,8 +107,9 @@ class UniMolEncoder(nn.Module):
         if padding_mask is not None:
             x = x * (1.0 - padding_mask[..., None].astype(x.dtype))
 
-        input_bias = attn_bias.astype(jnp.float32)
-        bias = merge_padding_into_bias(input_bias, padding_mask)
+        pair_dtype = jnp.dtype(cfg.pair_dtype)
+        input_bias = attn_bias.astype(pair_dtype)
+        bias = merge_padding_into_bias(input_bias, padding_mask, pair_dtype=pair_dtype)
         layer_cls = (
             nn.remat(PairBiasEncoderLayer, static_argnums=(3,))
             if cfg.remat
@@ -129,7 +133,7 @@ class UniMolEncoder(nn.Module):
         # delta pair representation: accumulated logits minus the (unfilled)
         # input bias, zeroed at padded keys, [B,N,N,H]
         # (reference: models/transformers.py:163-164)
-        delta = bias - input_bias
+        delta = bias.astype(jnp.float32) - input_bias.astype(jnp.float32)
         if padding_mask is not None:
             delta = jnp.where(padding_mask[:, None, None, :], 0.0, delta)
         delta_pair = jnp.transpose(delta, (0, 2, 3, 1))

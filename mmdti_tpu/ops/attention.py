@@ -30,12 +30,19 @@ def pair_bias_attention_xla(
     q: jnp.ndarray,  # [B, H, N, D]
     k: jnp.ndarray,  # [B, H, N, D]
     v: jnp.ndarray,  # [B, H, N, D]
-    bias: jnp.ndarray,  # [B, H, N, N] fp32 additive bias (with -inf pad fill)
+    bias: jnp.ndarray,  # [B, H, N, N] additive bias (with -inf pad fill)
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    pair_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (attention_output [B,H,N,D], new_bias [B,H,N,N] fp32)."""
+    """Returns (attention_output [B,H,N,D], new_bias [B,H,N,N]).
+
+    Accumulation and softmax run in fp32; the returned logits are *stored* in
+    pair_dtype.  bf16 storage halves the HBM traffic of the layer-threaded
+    [B,H,N,N] tensors (the model's memory hot spot, SURVEY §5) and mirrors the
+    reference's fp16-AMP precision for this chain (tasks/trainer.py:181-182).
+    """
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
     logits = jnp.einsum(
@@ -48,20 +55,21 @@ def pair_bias_attention_xla(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
-    return out.astype(q.dtype), logits
+    return out.astype(q.dtype), logits.astype(pair_dtype)
 
 
 def merge_padding_into_bias(
     bias: jnp.ndarray,  # [B, H, N, N]
     padding_mask: Optional[jnp.ndarray],  # [B, N] True where padded
     fill_value: float = float("-inf"),
+    pair_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Fill padded *key* positions with -inf once before the stack
     (reference: fill_attn_mask, models/transformers.py:122-132)."""
-    bias = bias.astype(jnp.float32)
+    bias = bias.astype(pair_dtype)
     if padding_mask is None:
         return bias
-    return jnp.where(padding_mask[:, None, None, :], fill_value, bias)
+    return jnp.where(padding_mask[:, None, None, :], jnp.asarray(fill_value, pair_dtype), bias)
 
 
 def cross_attention_xla(

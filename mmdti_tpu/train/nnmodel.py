@@ -109,16 +109,17 @@ class NNModel:
         )
 
         # model --------------------------------------------------------------------
-        # Attention path policy (measured on v5e at flagship shapes, see
-        # ops/pallas_attention.py): XLA autodiff wins for training
-        # (fwd+bwd 1.55ms vs 1.78ms) but the fused Pallas kernel wins for
-        # inference (full-model fwd 0.32ms vs 0.43ms, +33% mols/s).  'auto'
-        # therefore trains on XLA and serves on Pallas when running on TPU;
-        # True/False force both paths.
+        # Attention path policy: honestly measured (queue-saturated, see
+        # CLAUDE.md on the axon tunnel's async-dispatch timing traps) XLA's
+        # fused chain beats the Pallas kernel at the flagship shapes for both
+        # training and inference (fwd 9.2ms vs 10.3ms at B=32) — head_dim 8
+        # leaves the MXU underfed either way and XLA's fusion of the
+        # [B,H,N,N] fp32 chain is already tight.  'auto' therefore uses XLA
+        # everywhere; use_pallas=True opts into the kernel (numerics-validated
+        # against the oracle in tests/test_pallas.py).
         use_pallas = params.get("use_pallas", "auto")
         if use_pallas == "auto":
-            train_pallas = False
-            infer_pallas = jax.default_backend() == "tpu"
+            train_pallas = infer_pallas = False
         else:
             train_pallas = infer_pallas = bool(use_pallas)
 
