@@ -98,3 +98,24 @@ class TestPredict:
         y1 = MolPredict(load_model=exp).predict(val_p)
         y2 = MolPredict(load_model=exp).predict(val_p)
         np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+class TestScanFusionEquivalence:
+    def test_steps_per_call_preserves_predictions(self, tiny_csv_module, tmp_path):
+        """K-fused scan steps must reproduce single-step training exactly
+        (same math, same RNG stream)."""
+        from mmdti_tpu import MolTrain
+
+        train_p, val_p, _ = tiny_csv_module
+        preds = {}
+        for spc in (1, 3):
+            exp = str(tmp_path / f"exp_spc{spc}")
+            m = MolTrain(
+                task="regression", epochs=2, batch_size=8, metrics="mse",
+                smiles_col="smiles", save_path=exp, target_cols=["measured"],
+                seed=0, compute_dtype="float32", use_pallas=False,
+                steps_per_call=spc, **SMALL_ARCH,
+            )
+            m.fit(train_p, val_p)
+            preds[spc] = np.asarray(m.cv_pred)
+        np.testing.assert_allclose(preds[1], preds[3], atol=1e-6)
