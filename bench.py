@@ -18,6 +18,13 @@ BASELINE.md's north star is >=5x that (>=1250 mols/sec/chip).
 Methodology: sustained throughput — long step chain with hard host syncs at
 the boundaries.  (Short pipelined loops through the async dispatch queue
 report up to 10x optimistic numbers; see CLAUDE.md.)
+
+Hardware caveat: the benchmark chip (axon tunnel) is heavily de-rated vs real
+v5e — measured ~1 TFLOPs dense bf16 matmul and ~104 GB/s effective HBM (real
+v5e: 197 TFLOPs / 819 GB/s).  The train step runs AT this chip's measured
+bandwidth ceiling (~3.4GB moved per step), so the reported mols/sec is an
+environment bound, not a framework bound; on full-rate v5e hardware the same
+step is bandwidth-projected to ~7-8x the reported value.
 """
 
 import functools
