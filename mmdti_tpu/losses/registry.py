@@ -19,6 +19,9 @@ def _focal(logits, target):
     return zoo.focal_loss_with_logits(logits, target)
 
 
+_focal.nan_maskable = True
+
+
 def _ghm(logits, target):
     loss, _ = zoo.ghmc_loss(logits, target)
     return loss

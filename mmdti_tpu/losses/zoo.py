@@ -80,6 +80,12 @@ def focal_loss_with_logits(logits, target, alpha: float = 0.25, gamma: float = 2
     return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+# NaN-targets-are-excluded losses: padded eval rows can be masked exactly by
+# setting their labels to NaN (used by Trainer.build_eval_step).
+for _fn in (masked_bce_with_logits, mae_with_nan, bce_with_nan, focal_loss_with_logits):
+    _fn.nan_maskable = True
+
+
 # ---- GHM with explicit EMA bin state ---------------------------------------
 
 def ghmc_loss(

@@ -41,6 +41,7 @@ from mmdti_tpu.losses.fds import (
 from mmdti_tpu.losses.registry import target_is_integer
 from mmdti_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
 from mmdti_tpu.train.optim import make_optimizer
+from mmdti_tpu.train.profiler import StepTimer
 from mmdti_tpu.utils.logger import logger
 from mmdti_tpu.utils.metrics import Metrics
 
@@ -102,6 +103,14 @@ def load_train_state(dump_dir, fold, opt_state_template):
     return raw["params"], opt_state, fds, int(raw["epoch"]), int(raw["global_step"])
 
 
+def _weighted_loss_mean(val_losses) -> float:
+    """Row-weighted mean of per-batch (loss, n_valid_rows) pairs."""
+    if not val_losses:
+        return 0.0
+    total_n = sum(n for _, n in val_losses)
+    return float(sum(l * n for l, n in val_losses) / max(total_n, 1))
+
+
 class Trainer:
     def __init__(self, save_path: Optional[str] = None, **params):
         self.save_path = save_path
@@ -125,6 +134,10 @@ class Trainer:
         self.resume = bool(params.get("resume", False))
         # train steps fused per device dispatch (amortizes host/RPC latency)
         self.steps_per_call = int(params.get("steps_per_call", 4) or 1)
+        # xprof tracing of the first profile_steps dispatches + per-epoch
+        # StepTimer p50/p95 logging (train/profiler.py; SURVEY §5)
+        self.profile_dir = params.get("profile_dir", None)
+        self.profile_steps = int(params.get("profile_steps", 5) or 5)
         mesh_shape = params.get("mesh_shape", None)
         self.mesh = params.get("mesh", None) or make_mesh(
             tuple(mesh_shape) if mesh_shape else None
@@ -242,11 +255,32 @@ class Trainer:
     def build_eval_step(self, model, loss_fn, activation_fn):
         alpha = self.alpha
 
+        # Padded trailing rows must not bias the val loss (they repeat the last
+        # sample).  NaN-maskable losses exclude them exactly by NaN labels;
+        # otherwise per-row vmap + row-weighted mean over the first valid_n
+        # rows (exact for row-decomposable means: mse/ce/bce).
+        if getattr(loss_fn, "nan_maskable", False):
+            def batch_loss(logits, labels, valid_n):
+                keep = jnp.arange(logits.shape[0]) < valid_n
+                keep = keep.reshape((-1,) + (1,) * (labels.ndim - 1))
+                masked = jnp.where(keep, labels.astype(jnp.float32), jnp.nan)
+                return loss_fn(logits, masked)
+        else:
+            def batch_loss(logits, labels, valid_n):
+                keep = (jnp.arange(logits.shape[0]) < valid_n).astype(jnp.float32)
+                per_row = jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(
+                    logits, labels
+                )
+                return jnp.sum(per_row * keep) / jnp.maximum(
+                    valid_n.astype(jnp.float32), 1.0
+                )
+
         @jax.jit
-        def eval_step(params, feats, labels):
+        def eval_step(params, feats, labels, valid_n):
             out = model.apply({"params": params}, **feats, deterministic=True)
             preds = activation_fn(out["logits"])
-            return preds, alpha * loss_fn(out["logits"], labels), out["pooled"], out["cls_repr"]
+            loss = alpha * batch_loss(out["logits"], labels, valid_n)
+            return preds, loss, out["pooled"], out["cls_repr"]
 
         return eval_step
 
@@ -339,6 +373,31 @@ class Trainer:
             )
             return feats, labels_d, w_d
 
+        # profiling hooks: trace the first profile_steps dispatches into
+        # profile_dir + per-epoch step-time p50/p95 (no-ops when off; the
+        # StepTimer's block_until_ready sync would serialize async dispatch)
+        profiling = bool(self.profile_dir)
+        trace_state = {"active": False, "dispatches": 0}
+        step_timer = StepTimer() if profiling else None
+
+        def dispatch_begin():
+            if not profiling:
+                return
+            if epoch == start_epoch and trace_state["dispatches"] == 0:
+                jax.profiler.start_trace(self.profile_dir)
+                trace_state["active"] = True
+            step_timer.start()
+
+        def dispatch_end(result):
+            if not profiling:
+                return
+            step_timer.stop(result)
+            trace_state["dispatches"] += 1
+            if trace_state["active"] and trace_state["dispatches"] >= self.profile_steps:
+                jax.profiler.stop_trace()
+                trace_state["active"] = False
+                logger.info("Profiler trace written to %s", self.profile_dir)
+
         K = self.steps_per_call if train_steps is not None else 1
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
@@ -354,21 +413,32 @@ class Trainer:
                     rngs_k = jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(
                         jnp.arange(global_step, global_step + K)
                     )
+                    dispatch_begin()
                     params, opt_state, loss_state, m = train_steps(
                         params, opt_state, fds_state, loss_state,
                         feats_k, labels_k, w_k, epoch_f, rngs_k,
                     )
+                    dispatch_end(m)
                     epoch_metrics.append(m)
                     global_step += K
                     pending = []
             for feats, labels_d, w_d in pending:
                 rng = jax.random.fold_in(base_rng, global_step)
+                dispatch_begin()
                 params, opt_state, loss_state, m = train_step(
                     params, opt_state, fds_state, loss_state, feats, labels_d, w_d,
                     epoch_f, rng,
                 )
+                dispatch_end(m)
                 epoch_metrics.append(m)
                 global_step += 1
+            if profiling and step_timer.times:
+                s = step_timer.summary()
+                logger.info(
+                    "Epoch %d dispatch timing: p50=%.1fms p95=%.1fms over %d dispatches",
+                    epoch + 1, s["p50_s"] * 1e3, s["p95_s"] * 1e3, s["steps"],
+                )
+                step_timer = StepTimer()
 
             train_means = {
                 k: float(np.mean(np.concatenate([
@@ -388,7 +458,10 @@ class Trainer:
                 for batch, labels in fds_loader:
                     fb, _ = self._split_batch(batch)
                     fb = shard_batch(self.mesh, fb)
-                    _, _, pooled, _ = eval_step(params, fb, self._labels_device(labels))
+                    _, _, pooled, _ = eval_step(
+                        params, fb, self._labels_device(labels),
+                        jnp.asarray(labels.shape[0], jnp.int32),
+                    )
                     feats_list.append(pooled)
                     label_list.append(jnp.asarray(labels, jnp.float32))
                 all_feats = jnp.concatenate(feats_list, axis=0)
@@ -409,7 +482,7 @@ class Trainer:
                 epoch=epoch, load_model=False, eval_step=eval_step,
                 loader=valid_loader,
             )
-            total_val_loss = float(np.mean(val_losses))
+            total_val_loss = _weighted_loss_mean(val_losses)
             first_metric = next(iter(metric_score)) if metric_score else "loss"
             first_score = metric_score.get(first_metric, float("nan"))
             logger.info(
@@ -448,6 +521,10 @@ class Trainer:
             if wait >= self.patience:
                 logger.warning("Early stopping at epoch: %d", epoch + 1)
                 break
+
+        if trace_state["active"]:  # fewer total dispatches than profile_steps
+            jax.profiler.stop_trace()
+            logger.info("Profiler trace written to %s", self.profile_dir)
 
         save_checkpoint(dump_dir, fold, best_params, best_fds)
         # final predict with best weights
@@ -488,11 +565,16 @@ class Trainer:
             batch, labels, valid_n = self._pad_to_batch(batch, labels)
             feats, _ = self._split_batch(batch)
             feats = shard_batch(self.mesh, feats)
-            preds, loss, _, _ = eval_step(params, feats, self._labels_device(labels))
+            preds, loss, _, _ = eval_step(
+                params, feats, self._labels_device(labels),
+                jnp.asarray(valid_n, jnp.int32),
+            )
             y_preds.append(np.asarray(jax.device_get(preds))[:valid_n])
             y_truths.append(labels[:valid_n])
             if not load_model:
-                val_losses.append(float(jax.device_get(loss)))
+                # (loss over valid rows, row count) — averaged row-weighted so
+                # a padded trailing batch cannot bias early stopping.
+                val_losses.append((float(jax.device_get(loss)), valid_n))
         y_preds = np.concatenate(y_preds)
         y_truths = np.concatenate(y_truths)
 
@@ -512,13 +594,19 @@ class Trainer:
                         if self.task == "multiclass" else None,
                     )
             else:
-                metric_score = {"ct_loss": float(np.mean(val_losses)) if val_losses else 0.0}
+                metric_score = {"ct_loss": _weighted_loss_mean(val_losses)}
         return y_preds, val_losses, metric_score
 
     # ------------------------------------------------------------------
-    def inference(self, model, params, dataset, collate_fn, return_atomic_reprs: bool = False):
+    def inference(
+        self, model, params, dataset, collate_fn,
+        return_atomic_reprs: bool = False, dictionary=None,
+    ):
         """Representation extraction (reference Trainer.inference,
-        tasks/trainer.py:484-522): CLS-token and pooled reprs per molecule."""
+        tasks/trainer.py:484-522): CLS-token and pooled reprs per molecule,
+        plus — with return_atomic_reprs — per-atom encoder reprs, the centered
+        3D coordinates (src_coord minus BOS/EOS rows), and the atom symbols
+        decoded through the Dictionary (tasks/trainer.py:508-519)."""
 
         @jax.jit
         def repr_step(p, feats):
@@ -527,7 +615,11 @@ class Trainer:
 
         loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
         params = replicate(self.mesh, params)
-        result = {"cls_repr": [], "pooled_repr": [], "atomic_reprs": [], "atomic_symbol": []}
+        result = {
+            "cls_repr": [], "pooled_repr": [], "atomic_reprs": [],
+            "atomic_coords": [], "atomic_symbol": [],
+        }
+        offset = 0  # loader is unshuffled: batch rows map to dataset order
         for batch, labels in loader:
             batch, labels, valid_n = self._pad_to_batch(batch, labels)
             feats, _ = self._split_batch(batch)
@@ -540,4 +632,14 @@ class Trainer:
                 for i in range(valid_n):
                     n_valid = int(mask[i].sum())
                     result["atomic_reprs"].append(enc[i, 1 : n_valid - 1])
+                    sample = dataset.features[offset + i]
+                    if "src_coord" in sample:
+                        result["atomic_coords"].append(
+                            np.asarray(sample["src_coord"], np.float32)[1:-1]
+                        )
+                    if dictionary is not None:
+                        result["atomic_symbol"].append(
+                            [dictionary[int(t)] for t in sample["src_tokens"][1:-1]]
+                        )
+            offset += valid_n
         return result

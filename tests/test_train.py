@@ -185,6 +185,85 @@ class TestResume:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class _FakeTokenizer:
+    """Deterministic stand-in for the SMILES tokenizer in collation tests."""
+
+    def __call__(self, smiles, pad_to=None):
+        L = pad_to or 10
+        ids = np.zeros((len(smiles), L), np.int32)
+        mask = np.zeros((len(smiles), L), np.int32)
+        for i, s in enumerate(smiles):
+            n = min(len(s), L)
+            ids[i, :n] = [(ord(c) % 50) + 4 for c in s[:n]]
+            mask[i, :n] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+class TestValLossPadding:
+    """Padded trailing rows must not bias the validation loss (VERDICT r1 #3):
+    val loss for len(valid)=9 must be identical at batch_size=8 (one padded
+    trailing batch) and batch_size=9 (one exact batch)."""
+
+    def _dataset(self, n=9, N=8):
+        from mmdti_tpu.data.batching import MolDataset
+
+        rng = np.random.RandomState(3)
+        feats = []
+        for i in range(n):
+            toks = rng.randint(4, 30, (N,))
+            toks[0], toks[-1] = 0, 2
+            feats.append({
+                "src_tokens": toks.astype(np.int32),
+                "src_distance": (rng.rand(N, N) * 4).astype(np.float32),
+                "src_edge_type": rng.randint(0, 35 * 35, (N, N)).astype(np.int32),
+                "smile": "CC" * (i + 1),
+            })
+        labels = rng.randn(n, 1).astype(np.float32)
+        return MolDataset(feats, labels)
+
+    def _val_loss(self, loss_fn, batch_size, dataset, model, params):
+        from mmdti_tpu.data.batching import BatchCollator
+        from mmdti_tpu.train.trainer import Trainer, _weighted_loss_mean
+
+        trainer = Trainer(
+            task="regression", metrics="mse", batch_size=batch_size,
+            mesh=make_mesh((1, 1), devices=jax.devices()[:1]),
+        )
+        collate = BatchCollator(_FakeTokenizer(), pad_idx=1, pad_mode="dataset",
+                                atom_pad=8, smiles_pad=20)
+        _, val_losses, _ = trainer.predict(
+            model, params, dataset, loss_fn, lambda x: x,
+            dump_dir="/tmp", fold=0, collate_fn=collate, load_model=False,
+        )
+        return _weighted_loss_mean(val_losses)
+
+    def test_mse_val_loss_independent_of_batch_size(self):
+        from mmdti_tpu.losses.zoo import mse_loss
+
+        model = _tiny_model()
+        ds = self._dataset()
+        feats, _ = _batch(B=2, N=8, L=20)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats,
+                            deterministic=True)["params"]
+        l8 = self._val_loss(mse_loss, 8, ds, model, params)
+        l9 = self._val_loss(mse_loss, 9, ds, model, params)
+        np.testing.assert_allclose(l8, l9, rtol=1e-5)
+
+    def test_nan_maskable_val_loss_independent_of_batch_size(self):
+        from mmdti_tpu.losses.zoo import mae_with_nan
+
+        model = _tiny_model()
+        ds = self._dataset()
+        feats, _ = _batch(B=2, N=8, L=20)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats,
+                            deterministic=True)["params"]
+        l8 = self._val_loss(mae_with_nan, 8, ds, model, params)
+        l9 = self._val_loss(mae_with_nan, 9, ds, model, params)
+        np.testing.assert_allclose(l8, l9, rtol=1e-5)
+
+
 class TestDeterminism:
     def test_two_runs_identical(self):
         """Fixed-seed end-to-end determinism (SURVEY §4)."""
