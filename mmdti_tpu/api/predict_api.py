@@ -89,7 +89,8 @@ class MolPredict:
                 self.datahub.data["unimol_input"], np.asarray(self.datahub.data["target"])
             )
             self.cv_repr = self.trainer.inference(
-                self.model.model_infer, self.model.params, dataset, self.model.collator
+                self.model.model_infer, self.model.params, dataset, self.model.collator,
+                return_atomic_reprs=True, dictionary=self.model.dictionary,
             )
         return y_pred
 
