@@ -56,6 +56,9 @@ class MolTrain:
         raw_data: Optional[str] = None,
         fds: bool = False,
         lds: bool = False,
+        lds_kernel: str = "gaussian",
+        lds_ks: int = 9,
+        lds_sigma: float = 1.0,
         seed: int = 42,
         use_scaler: bool = True,
         fds_num: int = 200,
@@ -97,6 +100,10 @@ class MolTrain:
         config.raw_data = raw_data
         config.fds = fds
         config.lds = lds
+        # LDS smoothing kernel knobs (reference lds_config, data/datahub.py:24-29)
+        config.lds_kernel = lds_kernel
+        config.lds_ks = lds_ks
+        config.lds_sigma = lds_sigma
         config.seed = seed
         config.use_scaler = use_scaler
         config.fds_num = fds_num

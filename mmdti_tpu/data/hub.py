@@ -9,6 +9,7 @@ features, and attaches the SMILES string and weight to each sample dict.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 from typing import Any, Dict, Optional
@@ -21,6 +22,28 @@ from mmdti_tpu.data.reader import MolDataReader
 from mmdti_tpu.data.scaler import TargetScaler
 from mmdti_tpu.data.weights import compute_sample_weights
 from mmdti_tpu.utils.logger import logger
+
+
+def _featurizer_fingerprint(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Every knob that changes ConformerGen's output, incl. the dictionary."""
+    from mmdti_tpu.chem.dictionary import Dictionary
+
+    dict_path = params.get("dict_path", None)
+    unimol_dir = params.get("unimol_dir", "") or ""
+    if dict_path is None and unimol_dir:
+        cand = os.path.join(os.path.dirname(unimol_dir), "mol.dict.txt")
+        dict_path = cand if os.path.exists(cand) else None
+    d = Dictionary.load(dict_path)
+    d.add_symbol("[MASK]", is_special=True)
+    return {
+        "seed": params.get("seed", 42),
+        "max_atoms": params.get("max_atoms", 256),
+        "data_type": params.get("data_type", "molecule"),
+        "method": params.get("method", "rdkit_random"),
+        "mode": params.get("mode", "fast"),
+        "remove_hs": bool(params.get("remove_hs", False)),
+        "dict": hashlib.md5("\n".join(d.symbols).encode()).hexdigest(),
+    }
 
 
 class DataHub:
@@ -37,6 +60,9 @@ class DataHub:
         self.all_weight = params.get("all_weight", False)
         self.raw_data = params.get("raw_data", None)
         self.lds = params.get("lds", False)
+        self.lds_kernel = params.get("lds_kernel", "gaussian")
+        self.lds_ks = int(params.get("lds_ks", 9))
+        self.lds_sigma = float(params.get("lds_sigma", 1.0))
         self.use_scaler = params.get("use_scaler", True)
         self.max_bin = params.get("fds_num", 200)
         self.use_weight = params.get("use_weight", False)
@@ -91,20 +117,40 @@ class DataHub:
         # sample weights
         if self.use_weight and task != "repr":
             self.data["weights"] = compute_sample_weights(
-                self.data["target"], all_weight=self.all_weight, lds=self.lds, max_bin=self.max_bin
+                self.data["target"], all_weight=self.all_weight, lds=self.lds,
+                max_bin=self.max_bin, lds_kernel=self.lds_kernel,
+                lds_ks=self.lds_ks, lds_sigma=self.lds_sigma,
             )
             logger.info("Computed %s sample weights.", "per-column" if self.all_weight else "single-column")
         else:
             tgt = np.asarray(self.data["target"]) if task != "repr" else np.zeros((len(self.data["smiles"] or []), 1))
             self.data["weights"] = np.ones_like(tgt, dtype=np.float32)
 
-        # conformer features (cached)
+        # conformer features (cached; the cache is keyed by the featurizer
+        # params so changing seed/max_atoms/remove_hs/... cannot silently
+        # reuse stale features — a flaw the reference shares,
+        # /root/reference/data/datahub.py:313-334)
         cache_dir = self.cache_dir_train if self.is_train else self.cache_dir_test
+        fingerprint = _featurizer_fingerprint(params)
         features = None
         if cache_dir is not None and os.path.exists(cache_dir):
             with open(cache_dir, "rb") as f:
-                features = pickle.load(f)
-            logger.info("Loaded conformer features from cache %s", cache_dir)
+                cached = pickle.load(f)
+            if isinstance(cached, dict) and "features" in cached:
+                if cached.get("fingerprint") == fingerprint:
+                    features = cached["features"]
+                    logger.info("Loaded conformer features from cache %s", cache_dir)
+                else:
+                    logger.warning(
+                        "Conformer cache %s was built with different featurizer "
+                        "params (%s != %s); regenerating.",
+                        cache_dir, cached.get("fingerprint"), fingerprint,
+                    )
+            else:  # legacy unfingerprinted cache: cannot be trusted
+                logger.warning(
+                    "Conformer cache %s has no featurizer fingerprint; regenerating.",
+                    cache_dir,
+                )
         if features is None:
             if "atoms" in self.data and "coordinates" in self.data:
                 features = ConformerGen(**params).transform_raw(
@@ -115,7 +161,7 @@ class DataHub:
             if cache_dir is not None:
                 os.makedirs(os.path.dirname(os.path.abspath(cache_dir)), exist_ok=True)
                 with open(cache_dir, "wb") as f:
-                    pickle.dump(features, f)
+                    pickle.dump({"fingerprint": fingerprint, "features": features}, f)
                 logger.info("Saved conformer features to cache %s", cache_dir)
 
         weights = np.asarray(self.data["weights"])

@@ -96,6 +96,9 @@ def compute_sample_weights(
     all_weight: bool = False,
     lds: bool = False,
     max_bin: int = 200,
+    lds_kernel: str = "gaussian",
+    lds_ks: int = 9,
+    lds_sigma: float = 1.0,
 ) -> np.ndarray:
     """Weight matrix for a [N, C] target array.
 
@@ -103,11 +106,15 @@ def compute_sample_weights(
     optimize_weighting_parallel_2 path used by finetune.py).
     all_weight=True: independent weights per column, returned [C, N] to match
     the reference's transposed layout (data/datahub.py:296-302).
+    The LDS kernel/ks/sigma knobs come from config (reference lds_config,
+    data/datahub.py:24-29).
     """
     targets = np.asarray(targets, dtype=np.float64)
     if targets.ndim == 1:
         targets = targets.reshape(-1, 1)
+    kw = dict(max_bin=max_bin, lds=lds, lds_kernel=lds_kernel,
+              lds_ks=lds_ks, lds_sigma=lds_sigma)
     if not all_weight:
-        return calculate_weights(targets[:, 0], max_bin=max_bin, lds=lds)
-    cols = [calculate_weights(targets[:, i], max_bin=max_bin, lds=lds) for i in range(targets.shape[1])]
+        return calculate_weights(targets[:, 0], **kw)
+    cols = [calculate_weights(targets[:, i], **kw) for i in range(targets.shape[1])]
     return np.stack(cols, axis=0).T  # [N, C]
