@@ -51,7 +51,7 @@ class InfoNCE(nn.Module):
         def mlp(x, name):
             x = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(stddev=0.02),
                          name=f"{name}_fc1")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
             return nn.Dense(self.proj_dim, dtype=self.dtype, kernel_init=bert_normal_init(stddev=0.02),
                             name=f"{name}_fc2")(x)
 

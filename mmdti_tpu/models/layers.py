@@ -8,7 +8,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 ACT2FN = {
-    "gelu": nn.gelu,
+    # exact (erf) gelu: matches torch F.gelu's default used by unicore's
+    # TransformerEncoderLayer and HF BERT/RoBERTa — flax's default is the
+    # tanh approximation, which diverges at the 1e-3 level
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "tanh": jnp.tanh,
     "linear": lambda x: x,

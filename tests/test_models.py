@@ -190,3 +190,160 @@ class TestGaussianLayer:
         want = np.exp(-0.5 * ((x - p["means"]) / std) ** 2) / ((2 * 3.14159) ** 0.5 * std)
         np.testing.assert_allclose(out, want, atol=1e-5)
         assert out.shape == (1, 3, 3, 8)
+
+
+class TestTorchOracleEncoderParity:
+    """Golden parity of the pair-bias encoder against a hand-ported torch
+    oracle of the reference layer math (VERDICT r1 missing #6):
+    unicore TransformerEncoderLayer pre-LN + SelfMultiheadAttention semantics
+    as consumed by /root/reference/models/transformers.py:96-183 — packed qkv
+    in_proj, q scaled by head_dim**-0.5, additive [B,H,N,N] bias with -inf at
+    padded keys, pre-softmax logits returned and threaded as the next layer's
+    bias, erf gelu, eps-1e-5 LayerNorms."""
+
+    E, H, FFN, B, N = 32, 4, 64, 2, 6
+
+    def _cfg(self, layers=1):
+        return UniMolEncoderConfig(
+            encoder_layers=layers, embed_dim=self.E, ffn_embed_dim=self.FFN,
+            attention_heads=self.H, dropout=0.0, emb_dropout=0.0,
+            attention_dropout=0.0, activation_dropout=0.0,
+        )
+
+    @staticmethod
+    def _t(a):
+        import torch
+
+        return torch.from_numpy(np.asarray(a, np.float32))
+
+    def _torch_layer(self, x, bias, lp):
+        """One reference encoder layer in torch; returns (x', logits)."""
+        import torch
+        import torch.nn.functional as F
+
+        B, N, E = x.shape
+        H = self.H
+        D = E // H
+        residual = x
+        x = F.layer_norm(
+            x, (E,), self._t(lp["self_attn_layer_norm"]["ln"]["scale"]),
+            self._t(lp["self_attn_layer_norm"]["ln"]["bias"]), eps=1e-5,
+        )
+        qkv = x @ self._t(lp["in_proj"]["kernel"]) + self._t(lp["in_proj"]["bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+
+        def heads(t):
+            return t.view(B, N, H, D).transpose(1, 2)
+
+        q = heads(q) * D ** -0.5
+        logits = q @ heads(k).transpose(-1, -2) + bias
+        probs = F.softmax(logits, dim=-1)
+        o = (probs @ heads(v)).transpose(1, 2).reshape(B, N, E)
+        o = o @ self._t(lp["out_proj"]["kernel"]) + self._t(lp["out_proj"]["bias"])
+        x = residual + o
+        residual = x
+        x = F.layer_norm(
+            x, (E,), self._t(lp["final_layer_norm"]["ln"]["scale"]),
+            self._t(lp["final_layer_norm"]["ln"]["bias"]), eps=1e-5,
+        )
+        x = x @ self._t(lp["fc1"]["kernel"]) + self._t(lp["fc1"]["bias"])
+        x = F.gelu(x)  # exact erf gelu, unicore default
+        x = x @ self._t(lp["fc2"]["kernel"]) + self._t(lp["fc2"]["bias"])
+        x = residual + x
+        return x, logits
+
+    def _inputs(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(self.B, self.N, self.E).astype(np.float32)
+        bias = (rng.randn(self.B, self.H, self.N, self.N) * 0.3).astype(np.float32)
+        pad = np.zeros((self.B, self.N), bool)
+        pad[1, -2:] = True  # second molecule has 2 padded atoms
+        return x, bias, pad
+
+    def test_single_layer_matches_torch(self):
+        import torch
+
+        from mmdti_tpu.models.unimol import PairBiasEncoderLayer
+
+        x, bias, pad = self._inputs()
+        bias_filled = np.where(pad[:, None, None, :], -np.inf, bias).astype(np.float32)
+        layer = PairBiasEncoderLayer(self._cfg())
+        params = layer.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(bias_filled), True
+        )["params"]
+        got_x, got_bias = layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(bias_filled), True
+        )
+        lp = jax.tree.map(np.asarray, params)
+        with torch.no_grad():
+            want_x, want_logits = self._torch_layer(
+                self._t(x), self._t(bias_filled), lp
+            )
+        np.testing.assert_allclose(np.asarray(got_x), want_x.numpy(), atol=2e-5)
+        # threaded logits: compare at valid keys (padded keys are -inf in both)
+        got_b, want_b = np.asarray(got_bias), want_logits.numpy()
+        valid = ~pad[:, None, None, :] * np.ones_like(got_b, bool)
+        np.testing.assert_allclose(got_b[valid], want_b[valid], atol=2e-5)
+        assert np.isneginf(got_b[~valid]).all() and np.isneginf(want_b[~valid]).all()
+
+    def test_full_encoder_matches_torch(self):
+        """3-layer stack incl. emb LN, bias threading, x_norm, delta_pair
+        (reference TransformerEncoderWithPair, models/transformers.py:96-183)."""
+        import torch
+        import torch.nn.functional as F
+
+        from mmdti_tpu.models.unimol import UniMolEncoder
+
+        x, bias, pad = self._inputs()
+        cfg = self._cfg(layers=3)
+        enc = UniMolEncoder(cfg)
+        params = enc.init(
+            jax.random.PRNGKey(1), jnp.asarray(x), jnp.asarray(bias),
+            jnp.asarray(pad), True,
+        )["params"]
+        got = enc.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(bias),
+            jnp.asarray(pad), True,
+        )
+        p = jax.tree.map(np.asarray, params)
+
+        with torch.no_grad():
+            tx = F.layer_norm(
+                self._t(x), (self.E,), self._t(p["emb_layer_norm"]["ln"]["scale"]),
+                self._t(p["emb_layer_norm"]["ln"]["bias"]), eps=1e-5,
+            )
+            tpad = self._t(pad.astype(np.float32))
+            tx = tx * (1.0 - tpad.unsqueeze(-1))
+            tbias = self._t(np.where(pad[:, None, None, :], -np.inf, bias))
+            for i in range(cfg.encoder_layers):
+                tx, tbias = self._torch_layer(tx, tbias, p[f"layers_{i}"])
+
+            def norm_loss(t):
+                mx = t.shape[-1] ** 0.5
+                return F.relu((torch.sqrt((t ** 2).sum(-1) + 1e-10) - mx).abs() - 1.0)
+
+            def masked_mean(mask, value, dim=-1):
+                return ((mask * value).sum(dim) / (1e-10 + mask.sum(dim))).mean()
+
+            token_mask = 1.0 - tpad
+            want_x_norm = masked_mean(token_mask, norm_loss(tx))
+            tx = F.layer_norm(
+                tx, (self.E,), self._t(p["final_layer_norm"]["ln"]["scale"]),
+                self._t(p["final_layer_norm"]["ln"]["bias"]), eps=1e-5,
+            )
+            delta = tbias - self._t(bias)
+            delta = delta.masked_fill(
+                self._t(pad.astype(np.float32))[:, None, None, :].bool(), 0.0
+            )
+            want_delta = delta.permute(0, 2, 3, 1)
+            pair_mask = token_mask[..., None] * token_mask[..., None, :]
+            want_delta_norm = masked_mean(pair_mask, norm_loss(want_delta), dim=(-1, -2))
+
+        np.testing.assert_allclose(np.asarray(got["rep"]), tx.numpy(), atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(got["delta_pair_repr"]), want_delta.numpy(), atol=5e-5
+        )
+        np.testing.assert_allclose(float(got["x_norm"]), float(want_x_norm), atol=5e-5)
+        np.testing.assert_allclose(
+            float(got["delta_pair_repr_norm"]), float(want_delta_norm), atol=5e-5
+        )
