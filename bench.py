@@ -44,6 +44,27 @@ WARMUP = 5
 STEPS = 200
 
 
+def _analytic_hbm_bytes(model, n_params: int) -> float:
+    """Analytic lower-bound accounting of HBM traffic per train step.
+
+    Dominant residents (flagship 15L/512d/64H, B=32, N=64):
+      * the layer-threaded pair-logit chain [B,H,N,N]: written once per layer
+        in fwd, read by the next layer; read + grad-written again in bwd
+        => ~4 x L x pair tensor;
+      * the Gaussian edge features [B,N,N,K] (fwd write + read, bwd again);
+      * params + Adam state: p/m/v read + write + grads => ~8 floats/param.
+    Activations [B,N,E] are ~50x smaller and ignored, so achieved GB/s derived
+    from this is a LOWER bound on true bandwidth utilization.
+    """
+    u = model.unimol_cfg
+    pair_bytes = 2 if u.pair_dtype == "bfloat16" else 4
+    pair = BATCH * u.attention_heads * N_ATOMS * N_ATOMS * pair_bytes
+    chain = 4 * u.encoder_layers * pair
+    gbf = 4 * BATCH * N_ATOMS * N_ATOMS * u.gaussian_kernels * 4
+    par = n_params * 4 * 8
+    return float(chain + gbf + par)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -81,6 +102,26 @@ def main():
         p = jax.tree.map(lambda a, u: a + u, p, updates)
         return p, opt, loss
 
+    # Two bytes/step figures, so round-over-round perf claims are falsifiable
+    # against the measured ~104 GB/s chip ceiling (VERDICT r1 #10):
+    #  * hlo_bytes_per_step — XLA cost model "bytes accessed" (pre-fusion op
+    #    traffic; a big overestimate of HBM bytes, but a consistent RELATIVE
+    #    measure: fusions that remove materialized tensors shrink it);
+    #  * est_hbm_bytes_per_step — analytic accounting of the dominant HBM
+    #    residents (see _analytic_hbm_bytes), used for achieved_gb_per_s.
+    hlo_bytes = 0.0
+    try:
+        cost = train_step.lower(
+            params, opt_state, feats, labels, weights, 0
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        hlo_bytes = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    est_hbm_bytes = _analytic_hbm_bytes(model, n_params)
+
     for i in range(WARMUP):
         params, opt_state, loss = train_step(params, opt_state, feats, labels, weights, i)
     float(loss)  # hard host sync drains the dispatch queue
@@ -94,6 +135,7 @@ def main():
     dt = time.perf_counter() - t0
 
     mols_per_sec = BATCH * STEPS / dt
+    step_s = dt / STEPS
     print(
         json.dumps(
             {
@@ -101,6 +143,14 @@ def main():
                 "value": round(mols_per_sec, 2),
                 "unit": "mols/sec/chip",
                 "vs_baseline": round(mols_per_sec / ESTIMATED_REFERENCE_MOLS_PER_SEC, 3),
+                "step_ms": round(step_s * 1e3, 2),
+                "hlo_bytes_per_step": int(hlo_bytes),
+                "est_hbm_bytes_per_step": int(est_hbm_bytes),
+                "achieved_gb_per_s": round(est_hbm_bytes / step_s / 1e9, 2),
+                "baseline_note": "vs_baseline divides by an ESTIMATED 250 "
+                "mols/s for the torch reference on its intended single GPU "
+                "(no published numbers; unicore cannot run here) — see module "
+                "docstring",
             }
         )
     )
