@@ -41,29 +41,30 @@ class PairBiasEncoderLayer(nn.Module):
         qkv = nn.Dense(3 * E, dtype=self.dtype, kernel_init=bert_normal_init(), name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(B, N, H, D).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
         rng = self.make_rng("dropout") if (not deterministic and cfg.attention_dropout > 0) else None
         pair_dtype = jnp.dtype(cfg.pair_dtype)
         if self.use_pallas:
             from mmdti_tpu.ops.pallas_attention import pair_bias_attention_pallas
 
+            # token-major I/O: the kernel splits/merges heads in VMEM, so no
+            # [B,H,N,D] relayout ever reaches HBM
             attn, new_bias = pair_bias_attention_pallas(
-                q, k, v, bias,
-                dropout_rate=cfg.attention_dropout,
-                dropout_rng=rng, deterministic=deterministic,
-            )
-            new_bias = new_bias.astype(pair_dtype)
-        else:
-            attn, new_bias = pair_bias_attention_xla(
-                q, k, v, bias,
+                q, k, v, bias.astype(pair_dtype), num_heads=H,
                 dropout_rate=cfg.attention_dropout,
                 dropout_rng=rng, deterministic=deterministic,
                 pair_dtype=pair_dtype,
             )
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, N, E)
+        else:
+            def heads(t):
+                return t.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+
+            attn, new_bias = pair_bias_attention_xla(
+                heads(q), heads(k), heads(v), bias,
+                dropout_rate=cfg.attention_dropout,
+                dropout_rng=rng, deterministic=deterministic,
+                pair_dtype=pair_dtype,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, N, E)
         attn = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="out_proj")(attn)
         x = residual + nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
 

@@ -1,35 +1,42 @@
-"""Fused pair-bias attention Pallas kernel (TPU).
+"""Fused pair-bias attention Pallas kernels (TPU) — forward AND backward.
 
-The load-bearing op of the Uni-Mol encoder (SURVEY §2.3): per batch-element
-program, computes for all heads at once
+The load-bearing op of the Uni-Mol encoder (SURVEY §2.3): per (batch,
+head-chunk) program, computes in VMEM
 
-    logits = (q * D**-0.5) @ k^T + bias     (fp32, bias carries -inf pad fill)
+    logits = (q * D**-0.5) @ k^T + bias     (fp32; bias carries -inf pad fill)
     out    = dropout(softmax(logits)) @ v
 
-entirely in VMEM — one kernel instead of XLA's qk-matmul / add / softmax /
-pv-matmul chain — and *returns the logits* as the next layer's bias (the
-pair-representation threading of models/transformers.py:136-139 in the
-reference).  Because the logits are a layer output consumed downstream, the
-backward pass receives cotangents for BOTH outputs; the custom VJP fuses the
-softmax backward with the direct logits gradient:
+and *returns the logits* as the next layer's bias (the pair-representation
+threading of the reference, models/transformers.py:136-139).  Because the
+logits are a layer output consumed downstream, the backward receives
+cotangents for BOTH outputs; it runs as a second Pallas kernel that fuses the
+whole gradient pipeline in VMEM:
 
-    dL = P * (dP - rowsum(dP * P)) + g_logits,   dP = (g_out @ v^T) * drop
+    P  = softmax(logits)            (recomputed from the stored logits)
+    dP = (g_out @ v^T) * drop_mask
+    dL = P * (dP - rowsum(dP * P)) + g_logits
     dq = dL @ k * scale,  dk = dL^T @ q * scale,  dv = (drop*P)^T @ g_out,
     dbias = dL
 
-Layout: (batch, head-chunk) grid with [hc,N,*] blocks per program, hc sized to
-the 16MB VMEM budget; heads are batched in-kernel.  The backward runs as XLA
-einsums with the dropout mask replayed by a small kernel.
+Design notes (from 10-step xprof traces of the train step on the tunneled
+v5e):
 
-Honest (queue-saturated, difference-based) timing at the flagship shapes
-(B=32,H=64,N=64,D=8) on v5e puts the full-model forward at 10.3ms via this
-kernel vs 9.2ms via the XLA chain — head_dim 8 underfeeds the MXU either way
-and XLA's fusion of the [B,H,N,N] fp32 chain is already tight, so XLA is the
-default path for both training and inference.  The kernel remains available
-(use_pallas=True), numerics-validated against the oracle
-(tests/test_pallas.py), and is the substrate for future fusions (e.g.
-computing the Gaussian edge bias inline).  Attention dropout uses the on-core
-PRNG seeded per program, identical across fwd/bwd replay.
+* XLA executes softmax (5.4ms/step), dropout uniforms + where (3.7ms/step)
+  and the backward logits accumulation (3.1ms/step) as separate HBM-roundtrip
+  fusions over the 15 threaded [B,H,N,N] tensors; the kernels keep every
+  intermediate (probs, dropout mask, dP, dL) in VMEM.
+* The threaded logits chain is stored in ``pair_dtype`` (bf16 halves its HBM
+  traffic; softmax/accumulation stay fp32).
+* Attention dropout uses the on-core PRNG seeded per program, replayed
+  bit-identically in the backward — no mask tensor ever exists in HBM.
+* I/O stays in the encoder's natural token-major layout: q/k/v arrive as
+  [B, N, E] (= [B, N, H*D]) and the attention output is written back in the
+  same layout, with the head split/merge done on VMEM-resident blocks.  The
+  [B,H,N,D] materializations this replaces cost 5.7ms/step in relayout
+  ("data formatting") time.
+
+Numerics validated against the XLA oracle in tests/test_pallas.py (interpret
+mode); see scripts/perf_probe.py for the honest timing methodology.
 """
 
 from __future__ import annotations
@@ -43,44 +50,142 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dropout_mask(seed_ref, shape, rate):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
-    bits = pltpu.prng_random_bits(shape)
-    uniform = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    return uniform >= rate
+def _keep_mask(seed_ref, shape, rate):
+    """Dropout keep-mask from raw PRNG bits (uint32 threshold compare — no
+    float conversion).  Seeded per (batch, head-chunk) program so the backward
+    replays the identical stream."""
+    pltpu.prng_seed(
+        seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    )
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    cutoff = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return bits >= cutoff
+
+
+def _softmax_from_logits(logits):
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # guard fully-masked rows
+    p = jnp.exp(logits - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    return p / jnp.maximum(s, 1e-30)
+
+
+def _dot_nn(a, b, ca, cb):
+    """2D dot contracting a's dim ca with b's dim cb (no transposes)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((ca,), (cb,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _head(block, h, D):
+    """Static lane-slice of head h from a [N, hc*D] VMEM block, fp32."""
+    return block[:, h * D:(h + 1) * D].astype(jnp.float32)
+
+
+def _marshal_heads(block, buf, hc, D):
+    """[N, hc*D] lane groups -> buf [hc, N, D]; returns the gathered vector.
+
+    Mosaic has no lane<->sublane reshape, so heads are marshalled through a
+    small VMEM scratch with per-head lane-slice writes; the matmuls then run
+    as ONE hc-batched dot_general (a per-head matmul loop measured 12ms/step
+    slower — the tiny [N,D] dots serialize)."""
+    for h in range(hc):
+        buf[h] = block[:, h * D:(h + 1) * D].astype(jnp.float32)
+    return buf[:]
+
+
+def _spread_heads(x, out_ref, hc, D, start=0):
+    """[hc, N, D] -> per-head lane-group stores into out_ref[0] [N, hc*D]."""
+    for h in range(hc):
+        out_ref[0, :, start + h * D:start + (h + 1) * D] = x[h].astype(
+            out_ref.dtype
+        )
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, logits_ref,
-                *, dropout_rate: float):
-    q = q_ref[0].astype(jnp.float32)          # [H, N, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    bias = bias_ref[0]                        # [H, N, N] fp32
-    scale = q.shape[-1] ** -0.5
+                qb, kb, vb, *, hc: int, head_dim: int,
+                dropout_rate: float):
+    D = head_dim
+    scale = D ** -0.5
+    q = _marshal_heads(q_ref[0], qb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D)
+    v = _marshal_heads(v_ref[0], vb, hc, D)
 
     logits = jax.lax.dot_general(
         q * scale, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) + bias
-    logits_ref[0] = logits
+    ) + bias_ref[0].astype(jnp.float32)
+    logits_ref[0] = logits.astype(logits_ref.dtype)
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)  # guard fully-masked rows
-    p = jnp.exp(logits - m)
-    s = jnp.sum(p, axis=-1, keepdims=True)
-    probs = p / jnp.maximum(s, 1e-30)
-
+    probs = _softmax_from_logits(logits)
     if dropout_rate > 0.0:
-        keep = _dropout_mask(seed_ref, probs.shape, dropout_rate)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
+        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
 
     out = jax.lax.dot_general(
         probs, v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0] = out.astype(out_ref.dtype)
+    _spread_heads(out, out_ref, hc, D)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, qb, kb, vb, gb,
+                *, hc: int, head_dim: int, dropout_rate: float):
+    D = head_dim
+    scale = D ** -0.5
+    logits = logits_ref[0].astype(jnp.float32)
+
+    probs = _softmax_from_logits(logits)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        dropped = jnp.where(keep, probs * inv, 0.0)
+        dmask = jnp.where(keep, inv, 0.0)
+    else:
+        dropped = probs
+        dmask = None
+
+    q = _marshal_heads(q_ref[0], qb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D)
+    v = _marshal_heads(v_ref[0], vb, hc, D)
+    g_out = _marshal_heads(gout_ref[0], gb, hc, D)
+
+    # dv = dropped^T @ g_out    [hc, N, D]
+    dv = jax.lax.dot_general(
+        dropped, g_out,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    _spread_heads(dv, dv_ref, hc, D)
+
+    # dP = g_out @ v^T          [hc, N, N]
+    dp = jax.lax.dot_general(
+        g_out, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if dmask is not None:
+        dp = dp * dmask
+    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dl = dl + glog_ref[0].astype(jnp.float32)
+    dbias_ref[0] = dl.astype(dbias_ref.dtype)
+
+    dq = jax.lax.dot_general(
+        dl, k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        dl, q,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    _spread_heads(dq, dq_ref, hc, D)
+    _spread_heads(dk, dk_ref, hc, D)
 
 
 def _head_chunk(H: int, N: int, n_mats: int) -> int:
@@ -94,11 +199,15 @@ def _head_chunk(H: int, N: int, n_mats: int) -> int:
     return hc
 
 
-def _specs(B, H, hc, N, D):
-    # index maps get the scalar-prefetch ref appended after grid indices
-    qkv = pl.BlockSpec((1, hc, N, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((1, hc, N, N), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM)
-    return qkv, mat
+def _tok_spec(N, hc, D):
+    """[B, N, H*D] array consumed as (1, N, hc*D) head-chunk blocks."""
+    return pl.BlockSpec((1, N, hc * D), lambda b, h, *_: (b, 0, h),
+                        memory_space=pltpu.VMEM)
+
+
+def _mat_spec(hc, N):
+    return pl.BlockSpec((1, hc, N, N), lambda b, h, *_: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _seed_from_rng(dropout_rng) -> jnp.ndarray:
@@ -108,117 +217,97 @@ def _seed_from_rng(dropout_rng) -> jnp.ndarray:
     return data[-1:].astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6))
-def _pallas_attention(q, k, v, bias, dropout_rate, seed, deterministic):
-    out, logits, _ = _pallas_attention_fwd(q, k, v, bias, dropout_rate, seed, deterministic)
+# pair_dtype is carried as a string to stay hashable for nondiff_argnums.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6, 7, 8))
+def _pallas_attention(q, k, v, bias, dropout_rate, seed, deterministic,
+                      num_heads, pair_dtype):
+    out, logits, _ = _run_fwd(
+        q, k, v, bias, dropout_rate, seed, deterministic, num_heads, pair_dtype
+    )
     return out, logits
 
 
-def _pallas_attention_fwd(q, k, v, bias, dropout_rate, seed, deterministic):
-    B, H, N, D = q.shape
+def _run_fwd(q, k, v, bias, dropout_rate, seed, deterministic, H, pair_dtype):
+    B, N, E = q.shape
+    D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    # n_mats=8 (the bwd working set) so fwd and bwd share one chunking and the
-    # per-program dropout streams line up between passes
-    hc = _head_chunk(H, N, n_mats=8)
-    qkv_spec, mat_spec = _specs(B, H, hc, N, D)
+    hc = _head_chunk(H, N, n_mats=10)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H // hc),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, mat_spec],
-        out_specs=(qkv_spec, mat_spec),
+        in_specs=[_tok_spec(N, hc, D)] * 3 + [_mat_spec(hc, N)],
+        out_specs=(_tok_spec(N, hc, D), _mat_spec(hc, N)),
+        scratch_shapes=[pltpu.VMEM((hc, N, D), jnp.float32)] * 3,
     )
     out, logits = pl.pallas_call(
-        functools.partial(_fwd_kernel, dropout_rate=rate),
+        functools.partial(_fwd_kernel, hc=hc, head_dim=D, dropout_rate=rate),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, E), q.dtype),
+            jax.ShapeDtypeStruct((B, H, N, N), jnp.dtype(pair_dtype)),
         ),
-    )(seed, q, k, v, bias.astype(jnp.float32))
+    )(seed, q, k, v, bias)
     return out, logits, (q, k, v, logits, seed)
 
 
-def _pallas_attention_fwd_rule(q, k, v, bias, dropout_rate, seed, deterministic):
-    out, logits, res = _pallas_attention_fwd(q, k, v, bias, dropout_rate, seed, deterministic)
+def _fwd_rule(q, k, v, bias, dropout_rate, seed, deterministic, H, pair_dtype):
+    out, logits, res = _run_fwd(
+        q, k, v, bias, dropout_rate, seed, deterministic, H, pair_dtype
+    )
     return (out, logits), res
 
 
-def _mask_kernel(seed_ref, out_ref, *, dropout_rate: float):
-    keep = _dropout_mask(seed_ref, out_ref.shape[1:], dropout_rate)
-    out_ref[0] = keep.astype(jnp.int8)
-
-
-def _regen_dropout_mask(seed, B, H, N, rate):
-    """Replay the forward kernel's PRNG stream (same chunking => same seeds)."""
-    hc = _head_chunk(H, N, n_mats=8)
-    mat_spec = pl.BlockSpec(
-        (1, hc, N, N), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
-    )
+def _bwd_rule(dropout_rate, deterministic, H, pair_dtype, res, cotangents):
+    q, k, v, logits, seed = res
+    g_out, g_logits = cotangents
+    B, N, E = q.shape
+    D = E // H
+    rate = 0.0 if deterministic else dropout_rate
+    hc = _head_chunk(H, N, n_mats=10)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H // hc),
-        in_specs=[],
-        out_specs=mat_spec,
+        in_specs=[_tok_spec(N, hc, D)] * 3 + [_mat_spec(hc, N)]
+                 + [_tok_spec(N, hc, D), _mat_spec(hc, N)],
+        out_specs=(
+            _tok_spec(N, hc, D), _tok_spec(N, hc, D), _tok_spec(N, hc, D),
+            _mat_spec(hc, N),
+        ),
+        scratch_shapes=[pltpu.VMEM((hc, N, D), jnp.float32)] * 4,
     )
-    return pl.pallas_call(
-        functools.partial(_mask_kernel, dropout_rate=rate),
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, hc=hc, head_dim=D, dropout_rate=rate),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, N, N), jnp.int8),
-    )(seed)
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, E), q.dtype),
+            jax.ShapeDtypeStruct((B, N, E), k.dtype),
+            jax.ShapeDtypeStruct((B, N, E), v.dtype),
+            jax.ShapeDtypeStruct((B, H, N, N), jnp.dtype(pair_dtype)),
+        ),
+    )(seed, q, k, v, logits, g_out.astype(q.dtype), g_logits)
+    # grads for (q, k, v, bias, seed); rate/det/H/pair_dtype are nondiff.
+    # bias enters as pair_dtype (same as the stored logits), so dbias is too.
+    return dq, dk, dv, dbias, None
 
 
-def _pallas_attention_bwd(dropout_rate, deterministic, res, cotangents):
-    """Backward in XLA batched einsums (fuses better than a Pallas bwd at
-    these shapes); the fwd dropout mask is replayed with a tiny kernel."""
-    q, k, v, logits, seed = res
-    g_out, g_logits = cotangents
-    B, H, N, D = q.shape
-    rate = 0.0 if deterministic else dropout_rate
-    scale = D ** -0.5
-
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    p = jnp.exp(logits - m)
-    probs = p / jnp.maximum(p.sum(-1, keepdims=True), 1e-30)
-
-    if rate > 0.0:
-        keep = _regen_dropout_mask(seed, B, H, N, rate).astype(jnp.float32)
-        inv = 1.0 / (1.0 - rate)
-        dropped = probs * keep * inv
-        dmask = keep * inv
-    else:
-        dropped = probs
-        dmask = None
-
-    g32 = g_out.astype(jnp.float32)
-    dv = jnp.einsum("bhnm,bhnd->bhmd", dropped, g32, preferred_element_type=jnp.float32)
-    dp = jnp.einsum(
-        "bhnd,bhmd->bhnm", g32, v.astype(jnp.float32), preferred_element_type=jnp.float32
-    )
-    if dmask is not None:
-        dp = dp * dmask
-    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dl = dl + g_logits.astype(jnp.float32)
-
-    dq = jnp.einsum("bhnm,bhmd->bhnd", dl, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhnm,bhnd->bhmd", dl, q.astype(jnp.float32)) * scale
-    # grads for (q, k, v, bias, seed); rate/deterministic are nondiff
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dl, None
-
-
-_pallas_attention.defvjp(_pallas_attention_fwd_rule, _pallas_attention_bwd)
+_pallas_attention.defvjp(_fwd_rule, _bwd_rule)
 
 
 def pair_bias_attention_pallas(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias: jnp.ndarray,
+    q: jnp.ndarray,      # [B, N, E] token-major (E = H*D, heads contiguous)
+    k: jnp.ndarray,      # [B, N, E]
+    v: jnp.ndarray,      # [B, N, E]
+    bias: jnp.ndarray,   # [B, H, N, N] additive bias (with -inf pad fill)
+    num_heads: int,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    pair_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ops.attention.pair_bias_attention_xla."""
+    """Fused pair-bias attention; returns (out [B,N,E], logits [B,H,N,N])."""
     seed = _seed_from_rng(dropout_rng)
     det = deterministic or dropout_rate == 0.0 or dropout_rng is None
-    return _pallas_attention(q, k, v, bias, float(dropout_rate), seed, bool(det))
+    return _pallas_attention(
+        q, k, v, bias, float(dropout_rate), seed, bool(det),
+        int(num_heads), jnp.dtype(pair_dtype).name,
+    )

