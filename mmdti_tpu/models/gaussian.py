@@ -23,16 +23,39 @@ class GaussianLayer(nn.Module):
     edge_types: int = 1024
 
     @nn.compact
-    def __call__(self, dist: jnp.ndarray, edge_type: jnp.ndarray) -> jnp.ndarray:
-        """dist [B,N,N] fp32, edge_type [B,N,N] int -> [B,N,N,K] fp32."""
+    def __call__(self, dist: jnp.ndarray, edge_type: jnp.ndarray,
+                 tokens: jnp.ndarray = None) -> jnp.ndarray:
+        """dist [B,N,N] fp32, edge_type [B,N,N] int -> [B,N,N,K] fp32.
+
+        TPU note: when ``tokens`` [B,N] is given, the edge types are by
+        construction the outer product of the atom tokens (et[i,j] = t_i*V +
+        t_j, chem/conformer.py coords2unimol), and the per-pair table lookup
+        factorizes into two one-hot matmuls.  The per-pair gather (and its
+        scatter-add backward into the [V^2,1] tables) measured ~3.5ms/step at
+        flagship scale; the matmul form is ~free.  Without ``tokens`` the
+        reference-faithful gather handles arbitrary edge types.
+        """
         means = self.param("means", nn.initializers.uniform(scale=3.0), (self.kernels,))
         stds = self.param("stds", nn.initializers.uniform(scale=3.0), (self.kernels,))
         mul = self.param("mul", nn.initializers.ones, (self.edge_types, 1))
         bias = self.param("bias", nn.initializers.zeros, (self.edge_types, 1))
 
-        m = jnp.take(mul, edge_type, axis=0)   # [B,N,N,1]
-        b = jnp.take(bias, edge_type, axis=0)  # [B,N,N,1]
-        x = m * dist.astype(jnp.float32)[..., None] + b         # [B,N,N,1]
+        V = int(round(self.edge_types ** 0.5))
+        if tokens is not None and V * V == self.edge_types:
+            import jax
+
+            p = jax.nn.one_hot(tokens, V, dtype=jnp.float32)      # [B,N,V]
+
+            def select(table):                                    # -> [B,N,N]
+                tab = table.reshape(V, V).astype(jnp.float32)
+                return jnp.einsum("biv,vw,bjw->bij", p, tab, p)
+
+            m = select(mul)[..., None]                            # [B,N,N,1]
+            b = select(bias)[..., None]
+        else:  # arbitrary edge types: reference-faithful gather
+            m = jnp.take(mul, edge_type, axis=0)                  # [B,N,N,1]
+            b = jnp.take(bias, edge_type, axis=0)
+        x = m * dist.astype(jnp.float32)[..., None] + b          # [B,N,N,1]
         std = jnp.abs(stds).astype(jnp.float32) + 1e-5
         return gaussian_pdf(x, means.astype(jnp.float32), std)   # broadcast -> [B,N,N,K]
 

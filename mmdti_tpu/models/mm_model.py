@@ -80,7 +80,7 @@ class MMModel(nn.Module):
                 kernels=ucfg.gaussian_kernels,
                 edge_types=self.atom_vocab_size * self.atom_vocab_size,
                 name="gbf",
-            )(src_distance, src_edge_type)                   # [B,N,N,K] fp32
+            )(src_distance, src_edge_type, tokens=src_tokens)  # [B,N,N,K] fp32
         else:
             from mmdti_tpu.models.gaussian import NumericalEmbed
 

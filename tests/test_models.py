@@ -208,6 +208,7 @@ class TestTorchOracleEncoderParity:
             encoder_layers=layers, embed_dim=self.E, ffn_embed_dim=self.FFN,
             attention_heads=self.H, dropout=0.0, emb_dropout=0.0,
             attention_dropout=0.0, activation_dropout=0.0,
+            activation_fn="gelu",  # exact erf: matches the torch oracle
         )
 
     @staticmethod
@@ -346,4 +347,25 @@ class TestTorchOracleEncoderParity:
         np.testing.assert_allclose(float(got["x_norm"]), float(want_x_norm), atol=5e-5)
         np.testing.assert_allclose(
             float(got["delta_pair_repr_norm"]), float(want_delta_norm), atol=5e-5
+        )
+
+    def test_token_factorized_matches_gather(self):
+        """The one-hot-matmul table selection (TPU fast path) must equal the
+        per-pair gather for outer-product edge types."""
+        V, K, B, N = 7, 8, 2, 5
+        layer = GaussianLayer(kernels=K, edge_types=V * V)
+        rng = np.random.RandomState(3)
+        toks = rng.randint(0, V, (B, N))
+        et = toks[:, :, None] * V + toks[:, None, :]
+        dist = jnp.asarray(rng.rand(B, N, N).astype(np.float32) * 4)
+        vars_ = layer.init(jax.random.PRNGKey(0), dist, jnp.asarray(et))
+        # perturb the tables so differences are visible
+        vars_ = jax.tree.map(
+            lambda x: x + 0.1 * np.random.RandomState(1).randn(*x.shape).astype(x.dtype),
+            jax.tree.map(np.asarray, vars_),
+        )
+        out_gather = layer.apply(vars_, dist, jnp.asarray(et))
+        out_factor = layer.apply(vars_, dist, jnp.asarray(et), tokens=jnp.asarray(toks))
+        np.testing.assert_allclose(
+            np.asarray(out_factor), np.asarray(out_gather), atol=1e-5
         )
