@@ -29,7 +29,9 @@ class UniMolEncoderConfig:
     activation_dropout: float = 0.0
     pooler_dropout: float = 0.2
     max_seq_len: int = 512
-    activation_fn: str = "gelu"
+    # 'gelu_tanh': TPU-first default (VPU erf is 2x the cost, ~4ms/step at
+    # flagship scale); set 'gelu' for exact reference (erf) numerics
+    activation_fn: str = "gelu_tanh"
     pooler_activation_fn: str = "tanh"
     post_ln: bool = False
     kernel: str = "gaussian"
