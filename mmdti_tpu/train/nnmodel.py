@@ -109,17 +109,16 @@ class NNModel:
         )
 
         # model --------------------------------------------------------------------
-        # Attention path policy: honestly measured (queue-saturated, see
-        # CLAUDE.md on the axon tunnel's async-dispatch timing traps) XLA's
-        # fused chain beats the Pallas kernel at the flagship shapes for both
-        # training and inference (fwd 9.2ms vs 10.3ms at B=32) — head_dim 8
-        # leaves the MXU underfed either way and XLA's fusion of the
-        # [B,H,N,N] fp32 chain is already tight.  'auto' therefore uses XLA
-        # everywhere; use_pallas=True opts into the kernel (numerics-validated
-        # against the oracle in tests/test_pallas.py).
+        # Attention path policy ('auto'): the fused Pallas fwd+bwd kernels
+        # (token-major I/O, VMEM softmax/dropout, bf16 pair-logit storage)
+        # measured 22.97ms/step vs 35.4ms for the XLA chain at the flagship
+        # shapes (honest queue-saturated timing, scripts/perf_probe.py), so
+        # TPU uses Pallas; other backends (CPU tests, virtual-device meshes)
+        # use the XLA oracle path, which is also the numerics reference
+        # (tests/test_pallas.py validates the kernels against it).
         use_pallas = params.get("use_pallas", "auto")
         if use_pallas == "auto":
-            train_pallas = infer_pallas = False
+            train_pallas = infer_pallas = jax.default_backend() == "tpu"
         else:
             train_pallas = infer_pallas = bool(use_pallas)
 
@@ -131,6 +130,13 @@ class NNModel:
         if "remat" not in unimol_overrides and self.atom_pad >= 160:
             unimol_overrides["remat"] = True
             logger.info("Auto-enabled encoder rematerialization (atom_pad=%d)", self.atom_pad)
+        # bf16 pair-logit storage halves the threaded-chain HBM traffic inside
+        # the Pallas kernels (softmax/accumulation stay fp32, mirroring the
+        # reference's fp16-AMP envelope for these tensors); fp32 elsewhere.
+        if "pair_dtype" not in unimol_overrides:
+            unimol_overrides["pair_dtype"] = (
+                "bfloat16" if train_pallas else "float32"
+            )
 
         def _build(pallas_flag):
             return build_model(

@@ -29,24 +29,27 @@ B, N, L, H, D, E, LAYERS, K = 32, 64, 64, 64, 8, 512, 15, 128
 
 
 def timed_chain(step, state, n1=100, n2=300):
-    """Difference-based sustained timing of a state -> state step."""
-    def run(n):
-        s = state
+    """Difference-based sustained timing of a state -> state step.
+
+    State threads through continuously (donation-safe); each measured segment
+    is bounded by hard host syncs."""
+    def sync(s):
+        leaf = jax.tree.leaves(s)[0]
+        float(leaf.reshape(-1)[0])  # device-side index; pulls one scalar
+
+    def run(s, n):
+        sync(s)
+        t0 = time.perf_counter()
         for i in range(n):
             s = step(s, i)
-        jax.block_until_ready(s)
-        leaf = jax.tree.leaves(s)[0]
-        float(leaf.reshape(-1)[0])  # hard host sync
-        t0 = time.perf_counter()
-        s2 = s
-        for i in range(n):
-            s2 = step(s2, i)
-        leaf = jax.tree.leaves(s2)[0]
-        float(leaf.reshape(-1)[0])
-        return time.perf_counter() - t0
+        sync(s)
+        return time.perf_counter() - t0, s
 
-    run(10)  # compile + warm
-    t1, t2 = run(n1), run(n2)
+    s = state
+    for i in range(10):  # compile + warm
+        s = step(s, i)
+    t1, s = run(s, n1)
+    t2, s = run(s, n2)
     return (t2 - t1) / (n2 - n1)
 
 
@@ -86,13 +89,13 @@ def probe_copy_layouts():
         print(f"  {name:28s} {dt*1e3:7.3f} ms  {2*nbytes/dt/1e9:7.1f} GB/s (r+w)")
 
 
-def _model_and_batch(pair_dtype):
+def _model_and_batch(pair_dtype, use_pallas=False):
     from __graft_entry__ import _example_batch, _flagship
     from mmdti_tpu.models import build_model
 
     model = build_model(
         output_dim=1, atom_vocab_size=35, atom_pad_idx=1, task="regression",
-        smiles_vocab_size=300, compute_dtype="bfloat16", use_pallas=False,
+        smiles_vocab_size=300, compute_dtype="bfloat16", use_pallas=use_pallas,
         unimol_overrides={"pair_dtype": pair_dtype},
     )
     batch = {k: jnp.asarray(v) for k, v in _example_batch(B=B, N=N, L=L).items()}
@@ -118,8 +121,9 @@ def probe_step():
     from mmdti_tpu.losses.contrastive import ct_regress
     from mmdti_tpu.train import make_optimizer
 
-    for pd in ("float32", "bfloat16"):
-        model, batch, params = _model_and_batch(pd)
+    variants = [("float32", False), ("float32", True), ("bfloat16", False), ("bfloat16", True)]
+    for pd, pallas in variants:
+        model, batch, params = _model_and_batch(pd, use_pallas=pallas)
         labels = jnp.asarray(np.random.RandomState(0).randn(B, 1), jnp.float32)
         weights = jnp.ones((B, 1), jnp.float32)
         tx, _ = make_optimizer(1e-4, 10000, 0.03, 5.0)
@@ -145,7 +149,8 @@ def probe_step():
             return (p, opt)
 
         dt = timed_chain(chain_step, (params, opt_state), n1=60, n2=200)
-        print(f"  step pair_dtype={pd:9s} {dt*1e3:7.2f} ms  ({B/dt:.0f} mols/s)")
+        print(f"  step pair_dtype={pd:9s} pallas={pallas!s:5s} "
+              f"{dt*1e3:7.2f} ms  ({B/dt:.0f} mols/s)")
 
 
 def probe_chain():
@@ -186,9 +191,9 @@ def probe_opt():
     import optax
 
     n = 74_000_000
-    p = jnp.zeros((n,), jnp.float32)
     g = jnp.ones((n,), jnp.float32) * 1e-4
     for mu_dtype in (None, jnp.bfloat16):
+        p = jnp.zeros((n,), jnp.float32)
         tx = optax.adam(1e-4, mu_dtype=mu_dtype)
         opt = tx.init(p)
 

@@ -24,6 +24,7 @@ B, N, L = 32, 64, 64
 
 def main():
     pair_dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
+    use_pallas = len(sys.argv) > 3 and sys.argv[3] == "pallas"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/mmdti_trace"
 
     from __graft_entry__ import _example_batch
@@ -33,7 +34,7 @@ def main():
 
     model = build_model(
         output_dim=1, atom_vocab_size=35, atom_pad_idx=1, task="regression",
-        smiles_vocab_size=300, compute_dtype="bfloat16", use_pallas=False,
+        smiles_vocab_size=300, compute_dtype="bfloat16", use_pallas=use_pallas,
         unimol_overrides={"pair_dtype": pair_dtype},
     )
     batch = {k: jnp.asarray(v) for k, v in _example_batch(B=B, N=N, L=L).items()}
