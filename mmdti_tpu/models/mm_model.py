@@ -177,9 +177,10 @@ def build_model(
     """Assemble the flagship model from task-level options."""
     import dataclasses
 
-    # note: pair_dtype='bfloat16' measured 40x SLOWER on v5e (XLA falls off the
-    # fast path for the bf16 [B,H,N,N] chain), so fp32 stays the default even
-    # in bf16 compute mode; the config knob remains for experimentation.
+    # pair_dtype: NNModel/'auto' sets 'bfloat16' on the TPU Pallas path (the
+    # kernels store the threaded logits chain in bf16 while computing fp32 in
+    # VMEM — half the chain's HBM traffic); fp32 stays the dataclass default
+    # so the XLA oracle path and CPU tests keep exact numerics.
     ucfg = UniMolEncoderConfig(**(unimol_overrides or {}))
     ccfg = ChemBertaConfig(vocab_size=smiles_vocab_size, **(chemberta_overrides or {}))
     xcfg = CrossModalConfig(hidden_size=ucfg.embed_dim)
