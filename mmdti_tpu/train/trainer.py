@@ -125,6 +125,7 @@ class Trainer:
         self.warmup_ratio = float(params.get("warmup_ratio", 0.1))
         self.patience = int(params.get("patience", 10))
         self.max_norm = float(params.get("max_norm", 1.0))
+        self.mu_dtype = params.get("mu_dtype", "bfloat16")
         self.alpha = float(params.get("alpha", 1))
         self.beta = float(params.get("beta", 0.1))
         self.fds = params.get("fds", False)
@@ -320,7 +321,7 @@ class Trainer:
         num_training_steps = steps_per_epoch * self.max_epochs
         tx, _ = make_optimizer(
             self.learning_rate, num_training_steps, self.warmup_ratio, self.max_norm,
-            frozen_mask=frozen_mask,
+            frozen_mask=frozen_mask, mu_dtype=self.mu_dtype,
         )
         params = replicate(self.mesh, params)
         opt_state = tx.init(params)

@@ -205,7 +205,7 @@ def probe_opt():
         def chain(s, i):
             return step(s[0], s[1], i)
 
-        dt = timed_chain(chain, (p, opt), n1=60, n2=200)
+        dt = timed_chain(chain, (p, opt), n1=30, n2=90)
         print(f"  adam mu_dtype={str(mu_dtype):20s} {dt*1e3:7.2f} ms")
 
 
