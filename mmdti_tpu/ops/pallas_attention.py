@@ -70,19 +70,6 @@ def _softmax_from_logits(logits):
     return p / jnp.maximum(s, 1e-30)
 
 
-def _dot_nn(a, b, ca, cb):
-    """2D dot contracting a's dim ca with b's dim cb (no transposes)."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((ca,), (cb,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _head(block, h, D):
-    """Static lane-slice of head h from a [N, hc*D] VMEM block, fp32."""
-    return block[:, h * D:(h + 1) * D].astype(jnp.float32)
-
-
 def _marshal_heads(block, buf, hc, D):
     """[N, hc*D] lane groups -> buf [hc, N, D]; returns the gathered vector.
 
