@@ -43,7 +43,14 @@ class PairBiasEncoderLayer(nn.Module):
 
         rng = self.make_rng("dropout") if (not deterministic and cfg.attention_dropout > 0) else None
         pair_dtype = jnp.dtype(cfg.pair_dtype)
-        if self.use_pallas:
+        use_pallas = self.use_pallas
+        if use_pallas:
+            from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
+
+            # long sequences exceed the kernel's VMEM envelope -> XLA path
+            # (remat already auto-enables there, train/nnmodel.py)
+            use_pallas = pallas_attention_supported(H, D, N)
+        if use_pallas:
             from mmdti_tpu.ops.pallas_attention import pair_bias_attention_pallas
 
             # token-major I/O: the kernel splits/merges heads in VMEM, so no

@@ -175,15 +175,36 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
     _spread_heads(dk, dk_ref, hc, D)
 
 
-def _head_chunk(H: int, N: int, n_mats: int) -> int:
-    """Largest divisor of H whose [hc,N,N] fp32 working set (n_mats matrices,
-    double-buffered) stays within ~half of the 16MB VMEM."""
-    budget = 6 * 1024 * 1024
-    hc = max(1, budget // max(1, N * N * 4 * n_mats))
-    hc = min(H, hc)
-    while H % hc != 0:
-        hc -= 1
-    return hc
+def _head_chunk(H: int, N: int, D: int):
+    """Head-chunk size, or None when the kernels can't run at these shapes.
+
+    Constraints:
+      * Mosaic lane rule: the token-block minor dim hc*D must be 128-divisible
+        (or equal the full E = H*D);
+      * VMEM: the bwd kernel's working set is ~66 bytes per (head, pair)
+        element (fp32 probs/dP/dL/logits + double-buffered bf16 in/out
+        blocks; hc=64,N=64 measured 17.4MB > the 16MB VMEM), so hc*N^2 is
+        capped at ~240K elements.
+    Returns the largest feasible divisor of H; None -> caller must use the
+    XLA path (long-sequence batches fall back automatically).
+    """
+    best = None
+    for hc in range(1, H + 1):
+        if H % hc:
+            continue
+        if (hc * D) % 128 != 0 and hc != H:
+            continue
+        if hc * N * N <= 240_000:
+            best = hc
+    return best
+
+
+def pallas_attention_supported(num_heads: int, head_dim: int, seq_len: int) -> bool:
+    """Whether the fused kernels handle these shapes (else use the XLA path)."""
+    return (
+        seq_len % 8 == 0
+        and _head_chunk(num_heads, seq_len, head_dim) is not None
+    )
 
 
 def _tok_spec(N, hc, D):
@@ -218,7 +239,12 @@ def _run_fwd(q, k, v, bias, dropout_rate, seed, deterministic, H, pair_dtype):
     B, N, E = q.shape
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    hc = _head_chunk(H, N, n_mats=10)
+    hc = _head_chunk(H, N, D)
+    if hc is None:
+        raise ValueError(
+            f"pallas pair-bias attention unsupported at H={H}, N={N}, D={D}; "
+            "check pallas_attention_supported() and use the XLA path"
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H // hc),
@@ -250,7 +276,12 @@ def _bwd_rule(dropout_rate, deterministic, H, pair_dtype, res, cotangents):
     B, N, E = q.shape
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    hc = _head_chunk(H, N, n_mats=10)
+    hc = _head_chunk(H, N, D)
+    if hc is None:
+        raise ValueError(
+            f"pallas pair-bias attention unsupported at H={H}, N={N}, D={D}; "
+            "check pallas_attention_supported() and use the XLA path"
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H // hc),
