@@ -149,3 +149,36 @@ class TestPallasDropout:
         # keep-rate sanity: compare against the no-dropout output
         o_det = pa.pair_bias_attention_pallas(q, k, v, bias, num_heads=H)[0]
         assert not np.allclose(np.asarray(o), np.asarray(o_det))
+
+
+class TestSupportedShapes:
+    def test_policy(self):
+        from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
+
+        assert pallas_attention_supported(64, 8, 64)      # flagship
+        assert pallas_attention_supported(64, 8, 96)      # bucket
+        assert not pallas_attention_supported(64, 8, 256)  # long-seq: VMEM cap
+        assert not pallas_attention_supported(64, 8, 63)   # ragged rows
+
+    def test_layer_falls_back_to_xla_on_long_sequences(self):
+        """use_pallas=True at unsupported N must silently take the XLA path
+        (identical numerics to use_pallas=False)."""
+        from mmdti_tpu.configs.architectures import UniMolEncoderConfig
+        from mmdti_tpu.models.unimol import PairBiasEncoderLayer
+
+        cfg = UniMolEncoderConfig(
+            encoder_layers=1, embed_dim=32, ffn_embed_dim=64,
+            attention_heads=4, dropout=0.0, emb_dropout=0.0,
+            attention_dropout=0.0,
+        )
+        rng = np.random.RandomState(0)
+        # N=63: fails the N % 8 == 0 rule -> fallback
+        x = jnp.asarray(rng.randn(1, 63, 32).astype(np.float32))
+        bias = jnp.asarray(rng.randn(1, 4, 63, 63).astype(np.float32))
+        lp = PairBiasEncoderLayer(cfg, use_pallas=True)
+        lx = PairBiasEncoderLayer(cfg, use_pallas=False)
+        params = lp.init(jax.random.PRNGKey(0), x, bias, True)["params"]
+        op, bp = lp.apply({"params": params}, x, bias, True)
+        ox, bx = lx.apply({"params": params}, x, bias, True)
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ox), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bp), np.asarray(bx), atol=1e-6)
