@@ -19,12 +19,13 @@ Methodology: sustained throughput — long step chain with hard host syncs at
 the boundaries.  (Short pipelined loops through the async dispatch queue
 report up to 10x optimistic numbers; see CLAUDE.md.)
 
-Hardware caveat: the benchmark chip (axon tunnel) is heavily de-rated vs real
-v5e — measured ~1 TFLOPs dense bf16 matmul and ~104 GB/s effective HBM (real
-v5e: 197 TFLOPs / 819 GB/s).  The train step runs AT this chip's measured
-bandwidth ceiling (~3.4GB moved per step), so the reported mols/sec is an
-environment bound, not a framework bound; on full-rate v5e hardware the same
-step is bandwidth-projected to ~7-8x the reported value.
+Hardware caveat: the tunneled chip is de-rated vs real v5e — measured
+streaming HBM ~306-555 GB/s depending on layout (real v5e: 819) and >=50
+TFLOPs effective bf16 matmul inside the step (real v5e: 197 peak).  The step
+is a mix of matmul, VPU and HBM time (see scripts/trace_step.py for the
+per-op profile), so real-v5e throughput should land ~1.5-3x the reported
+value.  (Round 1's "1 TFLOPs / 104 GB/s bandwidth ceiling" calibration was
+wrong — superseded by the xprof traces.)
 """
 
 import functools
