@@ -24,8 +24,13 @@ class GaussianLayer(nn.Module):
 
     @nn.compact
     def __call__(self, dist: jnp.ndarray, edge_type: jnp.ndarray,
-                 tokens: jnp.ndarray = None) -> jnp.ndarray:
+                 tokens: jnp.ndarray = None, return_affine: bool = False):
         """dist [B,N,N] fp32, edge_type [B,N,N] int -> [B,N,N,K] fp32.
+
+        With ``return_affine=True`` returns ``(u, means, stds)`` where
+        ``u = mul*dist + bias`` [B,N,N] — the input of the fused Pallas
+        Gaussian-projection kernel (ops/pallas_gbf.py), which performs the
+        K-kernel expansion in VMEM so [B,N,N,K] never reaches HBM.
 
         TPU note: when ``tokens`` [B,N] is given, the edge types are by
         construction the outer product of the atom tokens (et[i,j] = t_i*V +
@@ -56,8 +61,53 @@ class GaussianLayer(nn.Module):
             m = jnp.take(mul, edge_type, axis=0)                  # [B,N,N,1]
             b = jnp.take(bias, edge_type, axis=0)
         x = m * dist.astype(jnp.float32)[..., None] + b          # [B,N,N,1]
+        if return_affine:
+            return x[..., 0], means, stds
         std = jnp.abs(stds).astype(jnp.float32) + 1e-5
         return gaussian_pdf(x, means.astype(jnp.float32), std)   # broadcast -> [B,N,N,K]
+
+
+class _DenseParams(nn.Module):
+    """Parameter twin of nn.Dense (same tree: kernel [in,out], bias [out]) for
+    modules that consume the raw weights inside a Pallas kernel."""
+
+    in_dim: int
+    out_dim: int
+
+    def setup(self):
+        from mmdti_tpu.models.layers import bert_normal_init
+
+        self.kernel = self.param(
+            "kernel", bert_normal_init(), (self.in_dim, self.out_dim)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+
+
+class FusedGbfProj(nn.Module):
+    """Fused twin of the gbf_proj NonLinearHead (K -> K -> H): identical
+    parameter tree (linear1/linear2 kernel+bias), but the Gaussian expansion
+    and both matmuls run inside one Pallas kernel (ops/pallas_gbf.py), so the
+    [B,N,N,K] feature/hidden tensors never reach HBM.  Interchangeable with
+    the XLA path checkpoint-wise; numerics match to compute-dtype tolerance
+    (the kernel accumulates fp32)."""
+
+    out_dim: int                 # H (attention heads)
+    kernels: int = 128           # K
+    activation_fn: str = "gelu_tanh"
+    dtype: jnp.dtype = jnp.float32
+    pair_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, u, means, stds):
+        from mmdti_tpu.ops.pallas_gbf import gbf_pair_bias_fused
+
+        l1 = _DenseParams(self.kernels, self.kernels, name="linear1")
+        l2 = _DenseParams(self.kernels, self.out_dim, name="linear2")
+        return gbf_pair_bias_fused(
+            u, means, stds, l1.kernel, l1.bias, l2.kernel, l2.bias,
+            activation=self.activation_fn,
+            out_dtype=self.pair_dtype, compute_dtype=self.dtype,
+        )                                                   # [B, N, H, N]
 
 
 class NumericalEmbed(nn.Module):

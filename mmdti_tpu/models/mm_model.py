@@ -75,25 +75,56 @@ class MMModel(nn.Module):
             self.atom_vocab_size, ucfg.embed_dim, dtype=self.dtype,
             embedding_init=bert_normal_init(), name="embed_tokens",
         )(src_tokens)
-        if ucfg.kernel == "gaussian":
-            gbf_feat = GaussianLayer(
-                kernels=ucfg.gaussian_kernels,
-                edge_types=self.atom_vocab_size * self.atom_vocab_size,
-                name="gbf",
-            )(src_distance, src_edge_type, tokens=src_tokens)  # [B,N,N,K] fp32
-        else:
-            from mmdti_tpu.models.gaussian import NumericalEmbed
+        N = src_tokens.shape[1]
+        fuse_gbf = False
+        if self.use_pallas and ucfg.kernel == "gaussian":
+            from mmdti_tpu.ops.pallas_gbf import gbf_fused_supported
 
-            gbf_feat = NumericalEmbed(
+            fuse_gbf = gbf_fused_supported(
+                N, ucfg.gaussian_kernels, ucfg.gaussian_kernels,
+                ucfg.attention_heads, ucfg.activation_fn,
+            )
+        if fuse_gbf:
+            # fused Pallas path: Gaussian expansion + gbf_proj MLP in VMEM;
+            # [B,N,N,K] never hits HBM.  Kernel emits i-major [B,N,H,N] so
+            # the transpose below fuses into the encoder's padding merge.
+            from mmdti_tpu.models.gaussian import FusedGbfProj
+
+            u, g_means, g_stds = GaussianLayer(
                 kernels=ucfg.gaussian_kernels,
                 edge_types=self.atom_vocab_size * self.atom_vocab_size,
-                activation_fn=ucfg.activation_fn,
                 name="gbf",
-            )(src_distance, src_edge_type)
-        bias = NonLinearHead(
-            ucfg.attention_heads, ucfg.activation_fn, dtype=self.dtype, name="gbf_proj"
-        )(gbf_feat.astype(self.dtype))                        # [B,N,N,H]
-        bias = jnp.transpose(bias, (0, 3, 1, 2)).astype(jnp.float32)
+            )(src_distance, src_edge_type, tokens=src_tokens, return_affine=True)
+            pair = FusedGbfProj(
+                out_dim=ucfg.attention_heads,
+                kernels=ucfg.gaussian_kernels,
+                activation_fn=ucfg.activation_fn,
+                dtype=self.dtype,
+                pair_dtype=jnp.dtype(ucfg.pair_dtype),
+                name="gbf_proj",
+            )(u, g_means, g_stds)                             # [B,N,H,N]
+            bias = jnp.transpose(pair, (0, 2, 1, 3))          # [B,H,N,N]
+        else:
+            if ucfg.kernel == "gaussian":
+                gbf_feat = GaussianLayer(
+                    kernels=ucfg.gaussian_kernels,
+                    edge_types=self.atom_vocab_size * self.atom_vocab_size,
+                    name="gbf",
+                )(src_distance, src_edge_type, tokens=src_tokens)  # [B,N,N,K] fp32
+            else:
+                from mmdti_tpu.models.gaussian import NumericalEmbed
+
+                gbf_feat = NumericalEmbed(
+                    kernels=ucfg.gaussian_kernels,
+                    edge_types=self.atom_vocab_size * self.atom_vocab_size,
+                    activation_fn=ucfg.activation_fn,
+                    name="gbf",
+                )(src_distance, src_edge_type)
+            bias = NonLinearHead(
+                ucfg.attention_heads, ucfg.activation_fn, dtype=self.dtype,
+                name="gbf_proj",
+            )(gbf_feat.astype(self.dtype))                    # [B,N,N,H]
+            bias = jnp.transpose(bias, (0, 3, 1, 2)).astype(jnp.float32)
 
         enc = UniMolEncoder(
             ucfg, dtype=self.dtype, use_pallas=self.use_pallas, name="encoder"

@@ -1,0 +1,292 @@
+"""Fused Gaussian pair-bias projection Pallas kernel (TPU) — forward AND backward.
+
+Computes, entirely in VMEM, the Uni-Mol distance-bias pipeline that the XLA
+path materializes through three HBM round-trips (reference op:
+/root/reference/models/mm_model.py:553-556 — GaussianLayer expansion to
+[B,N,N,K] followed by the gbf_proj NonLinearHead K->K->H):
+
+    u    = mul * dist + bias_sel                       (done in XLA, [B,N,N])
+    G    = exp(-((u - mean_k)/std_k)^2 / 2) / (sqrt(2*pi)*std_k)   [.., K]
+    bias = W2 @ act(W1 @ G + b1) + b2                  [.., H]
+
+The [B,N,N,K] Gaussian feature tensor and the [B,N,N,K] MLP hidden tensor
+never exist in HBM (xprof measured ~2ms/step of their fusions at flagship
+scale); the kernel streams row-blocks of u and writes the projected pair bias
+directly in [B, N, H, N] layout — i-major, so the downstream transpose to the
+attention kernels' [B, H, N, N] fuses into the existing padding-merge pass.
+
+Design notes:
+  * Mosaic has no lane<->sublane reshape, so K (=128) lives on sublanes and
+    pair columns j on lanes: per row i the expansion is one broadcast
+    [K,1] x [1,N] -> [K,N].  IB rows are packed side-by-side into a
+    [*, IB*N]-lane scratch so the two MLP matmuls and the exp run once per
+    row-block at full MXU/VPU width instead of once per row.
+  * Matmul inputs are cast to the model compute dtype (bf16 on TPU) with fp32
+    accumulation — the same envelope as the flax Dense layers it replaces.
+  * The backward recomputes G/h from u (cheap VPU work) instead of storing
+    them, and accumulates the parameter gradients (dW1, db1, dW2, db2,
+    dmeans, dstds) across the sequential TPU grid into VMEM-resident blocks.
+  * Gradients flow to the per-edge-type affine tables through du in XLA (the
+    tables enter via the one-hot matmuls of models/gaussian.py, which XLA
+    fuses well); only the Gaussian/MLP parameters are kernel-side.
+
+Numerics validated against the XLA oracle path in tests/test_pallas_gbf.py
+(interpret mode, values and grads).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_2PI = (2 * 3.14159) ** 0.5  # reference constant (models/gaussian.py)
+
+_ROW_BLOCK = 8
+
+
+def _act_and_grad(name: str):
+    """Activation f(x) and its derivative f'(x), fp32, Mosaic-lowerable."""
+    if name == "gelu_tanh":
+        a, b = 0.7978845608028654, 0.044715
+
+        def f(x):
+            return 0.5 * x * (1.0 + jnp.tanh(a * (x + b * x * x * x)))
+
+        def df(x):
+            t = jnp.tanh(a * (x + b * x * x * x))
+            return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * a * (
+                1.0 + 3.0 * b * x * x
+            )
+
+        return f, df
+    if name == "gelu":  # exact erf gelu
+        inv_sqrt2 = 0.7071067811865476
+        inv_sqrt_2pi = 0.3989422804014327
+
+        def f(x):
+            return 0.5 * x * (1.0 + jax.lax.erf(x * inv_sqrt2))
+
+        def df(x):
+            phi = 0.5 * (1.0 + jax.lax.erf(x * inv_sqrt2))
+            return phi + x * inv_sqrt_2pi * jnp.exp(-0.5 * x * x)
+
+        return f, df
+    raise ValueError(f"unsupported activation for the fused gbf kernel: {name}")
+
+
+def gbf_fused_supported(seq_len: int, kernels: int, hidden: int, heads: int,
+                        activation: str) -> bool:
+    """Whether the fused kernel handles these shapes (else use the XLA path)."""
+    try:
+        _act_and_grad(activation)
+    except ValueError:
+        return False
+    return (
+        seq_len % _ROW_BLOCK == 0
+        and kernels % 8 == 0
+        and hidden % 8 == 0
+        and heads % 8 == 0
+        # fwd working set ~ (K + hidden) * IB*N fp32 + out block; cap lanes
+        and _ROW_BLOCK * seq_len <= 4096
+    )
+
+
+def _expand_rows(u_row_block, uflat, ib, n):
+    """[IB, N] rows -> one [1, IB*N] lane-packed vector (via lane slices)."""
+    for r in range(ib):
+        uflat[0:1, r * n:(r + 1) * n] = u_row_block[r:r + 1, :]
+    return uflat[0:1, :]
+
+
+def _fwd_kernel(u_ref, means_ref, std_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, uflat, *, ib: int, act: str, cdt):
+    n = u_ref.shape[2]
+    uf = _expand_rows(u_ref[0], uflat, ib, n)          # [1, IB*N] fp32
+    std = std_ref[...]                                  # [K, 1] fp32
+    z = (uf - means_ref[...]) / std                     # [K, IB*N]
+    g = jnp.exp(-0.5 * z * z) / (_SQRT_2PI * std)
+
+    f, _ = _act_and_grad(act)
+    h_pre = jax.lax.dot_general(
+        w1_ref[...].astype(cdt), g.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...]                                     # [Kh, IB*N]
+    h = f(h_pre)
+    o = jax.lax.dot_general(
+        w2_ref[...].astype(cdt), h.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...]                                     # [H, IB*N]
+    for r in range(ib):
+        out_ref[0, r] = o[:, r * n:(r + 1) * n].astype(out_ref.dtype)
+
+
+def _bwd_kernel(u_ref, means_ref, std_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                gout_ref,
+                du_ref, dmeans_ref, dstd_ref, dw1_ref, db1_ref, dw2_ref,
+                db2_ref, uflat, goflat, *, ib: int, act: str, cdt):
+    n = u_ref.shape[2]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dmeans_ref[...] = jnp.zeros_like(dmeans_ref)
+        dstd_ref[...] = jnp.zeros_like(dstd_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    # recompute the forward intermediates in VMEM (never stored to HBM)
+    uf = _expand_rows(u_ref[0], uflat, ib, n)           # [1, IB*N]
+    std = std_ref[...]
+    z = (uf - means_ref[...]) / std                     # [K, IB*N]
+    g = jnp.exp(-0.5 * z * z) / (_SQRT_2PI * std)
+    f, df = _act_and_grad(act)
+    h_pre = jax.lax.dot_general(
+        w1_ref[...].astype(cdt), g.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...]
+    h = f(h_pre)
+
+    for r in range(ib):                                 # [H, IB*N] cotangent
+        goflat[:, r * n:(r + 1) * n] = gout_ref[0, r].astype(jnp.float32)
+    go = goflat[...]
+
+    db2_ref[...] += jnp.sum(go, axis=1, keepdims=True)
+    dh = jax.lax.dot_general(                           # [Kh, IB*N]
+        w2_ref[...].astype(cdt), go.astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_ref[...] += jax.lax.dot_general(                # [Kh, H]
+        h.astype(cdt), go.astype(cdt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpre = dh * df(h_pre)
+    db1_ref[...] += jnp.sum(dpre, axis=1, keepdims=True)
+    dg = jax.lax.dot_general(                           # [K, IB*N]
+        w1_ref[...].astype(cdt), dpre.astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw1_ref[...] += jax.lax.dot_general(                # [K, Kh]
+        g.astype(cdt), dpre.astype(cdt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dgz = dg * g                                        # dL/dg * g
+    zs = z / std
+    dmeans_ref[...] += jnp.sum(dgz * zs, axis=1, keepdims=True)
+    dstd_ref[...] += jnp.sum(dgz * (z * z - 1.0) / std, axis=1, keepdims=True)
+    duf = jnp.sum(dgz * (-zs), axis=0, keepdims=True)   # [1, IB*N]
+    for r in range(ib):
+        du_ref[0, r:r + 1, :] = duf[0:1, r * n:(r + 1) * n]
+
+
+# static: activation name + dtypes carried as strings to stay hashable
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _gbf_fused(u, means, std, w1, b1, w2, b2, act, out_dtype, compute_dtype):
+    return _run_fwd(u, means, std, w1, b1, w2, b2, act, out_dtype, compute_dtype)
+
+
+def _specs(B, N, K, Kh, H, ib):
+    u_spec = pl.BlockSpec((1, ib, N), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ib, H, N), lambda b, i: (b, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda b, i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    param_specs = [full((K, 1)), full((K, 1)), full((K, Kh)), full((Kh, 1)),
+                   full((Kh, H)), full((H, 1))]
+    return u_spec, out_spec, param_specs, full
+
+
+def _run_fwd(u, means, std, w1, b1, w2, b2, act, out_dtype, compute_dtype):
+    B, N, _ = u.shape
+    K, Kh = w1.shape
+    H = w2.shape[1]
+    ib = _ROW_BLOCK
+    u_spec, out_spec, param_specs, _ = _specs(B, N, K, Kh, H, ib)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, ib=ib, act=act, cdt=jnp.dtype(compute_dtype)),
+        grid=(B, N // ib),
+        in_specs=[u_spec] + param_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, H, N), jnp.dtype(out_dtype)),
+        scratch_shapes=[pltpu.VMEM((1, ib * N), jnp.float32)],
+    )(u, means, std, w1, b1, w2, b2)
+
+
+def _fwd_rule(u, means, std, w1, b1, w2, b2, act, out_dtype, compute_dtype):
+    out = _run_fwd(u, means, std, w1, b1, w2, b2, act, out_dtype, compute_dtype)
+    return out, (u, means, std, w1, b1, w2, b2)
+
+
+def _bwd_rule(act, out_dtype, compute_dtype, res, g):
+    u, means, std, w1, b1, w2, b2 = res
+    B, N, _ = u.shape
+    K, Kh = w1.shape
+    H = w2.shape[1]
+    ib = _ROW_BLOCK
+    u_spec, out_spec, param_specs, full = _specs(B, N, K, Kh, H, ib)
+    du, dmeans, dstd, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, ib=ib, act=act, cdt=jnp.dtype(compute_dtype)),
+        grid=(B, N // ib),
+        in_specs=[u_spec] + param_specs + [out_spec],
+        out_specs=(u_spec, full((K, 1)), full((K, 1)), full((K, Kh)),
+                   full((Kh, 1)), full((Kh, H)), full((H, 1))),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((K, Kh), jnp.float32),
+            jax.ShapeDtypeStruct((Kh, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Kh, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, ib * N), jnp.float32),
+                        pltpu.VMEM((H, ib * N), jnp.float32)],
+    )(u, means, std, w1, b1, w2, b2, g)
+    return du, dmeans, dstd, dw1, db1, dw2, db2
+
+
+_gbf_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+def gbf_pair_bias_fused(
+    u: jnp.ndarray,        # [B, N, N] fp32 — mul*dist + bias_sel (affine done)
+    means: jnp.ndarray,    # [K] Gaussian means
+    stds: jnp.ndarray,     # [K] raw std params (|.|+1e-5 applied here)
+    w1: jnp.ndarray,       # [K, Kh] gbf_proj linear1 kernel
+    b1: jnp.ndarray,       # [Kh]
+    w2: jnp.ndarray,       # [Kh, H] gbf_proj linear2 kernel
+    b2: jnp.ndarray,       # [H]
+    activation: str = "gelu_tanh",
+    out_dtype=jnp.float32,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused Gaussian expansion + 2-layer MLP projection.
+
+    Returns the pair bias in i-major [B, N, H, N] layout (pair[b, i, h, j]);
+    transpose (0, 2, 1, 3) for the attention kernels' [B, H, N, N].
+    """
+    std = jnp.abs(stds) + 1e-5          # autodiff handles |.| outside the vjp
+    return _gbf_fused(
+        u.astype(jnp.float32),
+        means.astype(jnp.float32).reshape(-1, 1),
+        std.astype(jnp.float32).reshape(-1, 1),
+        w1.astype(jnp.float32), b1.astype(jnp.float32).reshape(-1, 1),
+        w2.astype(jnp.float32), b2.astype(jnp.float32).reshape(-1, 1),
+        activation, jnp.dtype(out_dtype).name, jnp.dtype(compute_dtype).name,
+    )
