@@ -188,7 +188,13 @@ class TestFullModelPallasPath:
                 use_pallas=use_pallas,
             )
 
-        B, N, L = 2, 16, 8
+        # N=64 -> the pallas path threads the pair chain lane-packed
+        # ([B,H//2,N,2N]); this test covers pack -> 2 layers -> unpack plus
+        # the fused gbf kernel, against the XLA model on the same params.
+        from mmdti_tpu.ops.pallas_attention import pair_bias_is_packed
+
+        B, N, L = 2, 64, 8
+        assert pair_bias_is_packed(N)
         rng = np.random.RandomState(0)
         toks = rng.randint(3, 8, (B, N)).astype(np.int32)
         toks[:, -2:] = 1  # padded tail
