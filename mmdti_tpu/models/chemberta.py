@@ -54,6 +54,7 @@ class RobertaEmbeddings(nn.Module):
 class RobertaLayer(nn.Module):
     cfg: ChemBertaConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask_bias, deterministic: bool = True):
@@ -62,23 +63,39 @@ class RobertaLayer(nn.Module):
         H = cfg.num_attention_heads
         D = E // H
 
-        def heads(t):
-            return t.reshape(B, L, H, D).transpose(0, 2, 1, 3)
-
-        q = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_query")(x))
-        k = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_key")(x))
-        v = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_value")(x))
+        q_tok = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_query")(x)
+        k_tok = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_key")(x)
+        v_tok = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_value")(x)
         rng = (
             self.make_rng("dropout")
             if (not deterministic and cfg.attention_probs_dropout_prob > 0)
             else None
         )
-        ctx = cross_attention_xla(
-            q, k, v, mask_bias,
-            dropout_rate=cfg.attention_probs_dropout_prob,
-            dropout_rng=rng, deterministic=deterministic,
-        )
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, E)
+        use_pallas = self.use_pallas
+        if use_pallas:
+            from mmdti_tpu.ops.pallas_attention import masked_attention_supported
+
+            use_pallas = masked_attention_supported(H, D, L, L)
+        if use_pallas:
+            from mmdti_tpu.ops.pallas_attention import masked_attention_pallas
+
+            # token-major fused kernel: softmax/dropout stay in VMEM and the
+            # backward recomputes the logits — no [B,H,L,L] tensor in HBM
+            ctx = masked_attention_pallas(
+                q_tok, k_tok, v_tok, mask_bias, num_heads=H,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                dropout_rng=rng, deterministic=deterministic,
+            )
+        else:
+            def heads(t):
+                return t.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+
+            ctx = cross_attention_xla(
+                heads(q_tok), heads(k_tok), heads(v_tok), mask_bias,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                dropout_rng=rng, deterministic=deterministic,
+            )
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, E)
         ctx = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_output")(ctx)
         ctx = nn.Dropout(cfg.hidden_dropout_prob)(ctx, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_LayerNorm")(
@@ -99,6 +116,7 @@ class RobertaLayer(nn.Module):
 class ChemBerta(nn.Module):
     cfg: ChemBertaConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -115,7 +133,8 @@ class ChemBerta(nn.Module):
         neg = jnp.finfo(jnp.float32).min
         mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
         for i in range(cfg.num_hidden_layers):
-            x = RobertaLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+            x = RobertaLayer(cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                             name=f"layer_{i}")(
                 x, mask_bias, deterministic=deterministic
             )
         return x  # last_hidden_state [B,L,E]

@@ -24,31 +24,47 @@ _MASK_FILL = -10000.0
 class BertCrossAttentionLayer(nn.Module):
     cfg: CrossModalConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s1, s2, s2_mask_bias, deterministic: bool = True):
         cfg = self.cfg
         B, N1, E = s1.shape
+        N2 = s2.shape[1]
         H = cfg.num_attention_heads
         D = E // H
 
-        def heads(t):
-            return t.reshape(B, -1, H, D).transpose(0, 2, 1, 3)
-
-        q = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="query")(s1))
-        k = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="key")(s2))
-        v = heads(nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="value")(s2))
+        q_tok = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="query")(s1)
+        k_tok = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="key")(s2)
+        v_tok = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="value")(s2)
         rng = (
             self.make_rng("dropout")
             if (not deterministic and cfg.attention_probs_dropout_prob > 0)
             else None
         )
-        ctx = cross_attention_xla(
-            q, k, v, s2_mask_bias,
-            dropout_rate=cfg.attention_probs_dropout_prob,
-            dropout_rng=rng, deterministic=deterministic,
-        )
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N1, E)
+        use_pallas = self.use_pallas
+        if use_pallas:
+            from mmdti_tpu.ops.pallas_attention import masked_attention_supported
+
+            use_pallas = masked_attention_supported(H, D, N1, N2)
+        if use_pallas:
+            from mmdti_tpu.ops.pallas_attention import masked_attention_pallas
+
+            ctx = masked_attention_pallas(
+                q_tok, k_tok, v_tok, s2_mask_bias, num_heads=H,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                dropout_rng=rng, deterministic=deterministic,
+            )
+        else:
+            def heads(t):
+                return t.reshape(B, -1, H, D).transpose(0, 2, 1, 3)
+
+            ctx = cross_attention_xla(
+                heads(q_tok), heads(k_tok), heads(v_tok), s2_mask_bias,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                dropout_rng=rng, deterministic=deterministic,
+            )
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N1, E)
 
         # self-output block: dense -> dropout -> LN(residual)
         ctx = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_output")(ctx)
@@ -70,12 +86,15 @@ class BertCrossAttentionLayer(nn.Module):
 class BertCrossEncoder(nn.Module):
     cfg: CrossModalConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s1, s2, s2_mask_bias, deterministic: bool = True):
         x = s1
         for i in range(self.cfg.num_layers):
-            x = BertCrossAttentionLayer(self.cfg, dtype=self.dtype, name=f"layer_{i}")(
+            x = BertCrossAttentionLayer(self.cfg, dtype=self.dtype,
+                                        use_pallas=self.use_pallas,
+                                        name=f"layer_{i}")(
                 x, s2, s2_mask_bias, deterministic=deterministic
             )
         return x
@@ -89,6 +108,7 @@ class CrossAttentionModel(nn.Module):
 
     cfg: CrossModalConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, stream_a, stream_b, a_mask, b_mask, deterministic: bool = True):
@@ -101,11 +121,13 @@ class CrossAttentionModel(nn.Module):
             return (1.0 - mask[:, None, None, :].astype(jnp.float32)) * _MASK_FILL
 
         # stream-b queries attend over stream-a keys (mask on a)
-        b_to_a = BertCrossEncoder(cfg, dtype=self.dtype, name="graph_attention")(
+        b_to_a = BertCrossEncoder(cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                                  name="graph_attention")(
             stream_b, stream_a, mask_bias(a_mask), deterministic=deterministic
         )
         # stream-a queries attend over stream-b keys (mask on b)
-        a_to_b = BertCrossEncoder(cfg, dtype=self.dtype, name="text_attention")(
+        a_to_b = BertCrossEncoder(cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                                  name="text_attention")(
             stream_a, stream_b, mask_bias(b_mask), deterministic=deterministic
         )
         return a_to_b, b_to_a

@@ -132,7 +132,8 @@ class MMModel(nn.Module):
         encoder_rep = enc["rep"]                              # [B,N,E]
 
         # --- SMILES stream ---------------------------------------------------
-        bert_rep = ChemBerta(self.chemberta_cfg, dtype=self.dtype, name="bert")(
+        bert_rep = ChemBerta(self.chemberta_cfg, dtype=self.dtype,
+                             use_pallas=self.use_pallas, name="bert")(
             input_ids, attention_mask, deterministic=deterministic
         )                                                     # [B,L,E]
 
@@ -143,6 +144,7 @@ class MMModel(nn.Module):
 
         # --- fusion ------------------------------------------------------------
         a_to_b, b_to_a = CrossAttentionModel(self.cross_cfg, dtype=self.dtype,
+                                             use_pallas=self.use_pallas,
                                              name="cross_modal_module")(
             encoder_rep, bert_rep, atom_mask, attention_mask,
             deterministic=deterministic,

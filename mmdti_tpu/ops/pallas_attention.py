@@ -311,6 +311,221 @@ def _bwd_rule(dropout_rate, deterministic, H, pair_dtype, res, cotangents):
 _pallas_attention.defvjp(_fwd_rule, _bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Masked (BERT-style) attention: ChemBERTa self-attention and the cross-modal
+# fusion layers.  Unlike the pair-bias kernels there is no threaded logits
+# output; the backward recomputes the logits from q/k (one extra MXU dot) so
+# NOTHING is stored between fwd and bwd — the [B,H,Nq,Nk] probs/mask tensors
+# that XLA materializes (softmax 0.08ms + dropout + backward fusions per
+# layer) never exist in HBM.  The mask is an additive per-key row [B,1,Nk]
+# (HF semantics: (1-mask)*large_negative), broadcast on-core.
+# ---------------------------------------------------------------------------
+
+
+def _masked_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                       qb, kb, vb, *, hc: int, head_dim: int,
+                       dropout_rate: float):
+    D = head_dim
+    scale = D ** -0.5
+    q = _marshal_heads(q_ref[0], qb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D)
+    v = _marshal_heads(v_ref[0], vb, hc, D)
+
+    logits = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + mask_ref[0].astype(jnp.float32)[None]          # [hc, Nq, Nk]
+    probs = _softmax_from_logits(logits)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
+        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
+    out = jax.lax.dot_general(
+        probs, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    _spread_heads(out, out_ref, hc, D)
+
+
+# The additive key mask is broadcast to [B, Nq, Nk] fp32 on the XLA side
+# before entering the kernels (0.5MB at flagship shapes — vs the [B,H,Nq,Nk]
+# probs tensors the kernel eliminates).  A [B,1,Nk] block crashes the Mosaic
+# compiler (1-sublane vreg: "limits[i] <= dim(i) (8 vs. 1)").
+
+
+def _masked_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, gout_ref,
+                       dq_ref, dk_ref, dv_ref, qb, kb, vb, gb,
+                       *, hc: int, head_dim: int, dropout_rate: float):
+    D = head_dim
+    scale = D ** -0.5
+    q = _marshal_heads(q_ref[0], qb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D)
+    v = _marshal_heads(v_ref[0], vb, hc, D)
+    g_out = _marshal_heads(gout_ref[0], gb, hc, D)
+
+    # recompute the forward (cheap MXU work instead of an HBM round-trip)
+    logits = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + mask_ref[0].astype(jnp.float32)[None]
+    probs = _softmax_from_logits(logits)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        dropped = jnp.where(keep, probs * inv, 0.0)
+        dmask = jnp.where(keep, inv, 0.0)
+    else:
+        dropped = probs
+        dmask = None
+
+    dv = jax.lax.dot_general(
+        dropped, g_out,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    _spread_heads(dv, dv_ref, hc, D)
+
+    dp = jax.lax.dot_general(
+        g_out, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if dmask is not None:
+        dp = dp * dmask
+    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+
+    dq = jax.lax.dot_general(
+        dl, k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        dl, q,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    _spread_heads(dq, dq_ref, hc, D)
+    _spread_heads(dk, dk_ref, hc, D)
+
+
+def masked_attention_supported(num_heads: int, head_dim: int, q_len: int,
+                               k_len: int) -> bool:
+    """Whether the masked-attention kernels handle these shapes."""
+    return (
+        q_len % 8 == 0
+        and k_len % 8 == 0
+        and _head_chunk(num_heads, max(q_len, k_len), head_dim) is not None
+    )
+
+
+def _masked_specs(Nq, Nk, hc, D):
+    q_spec = _tok_spec(Nq, hc, D)
+    kv_spec = _tok_spec(Nk, hc, D)
+    mask_spec = pl.BlockSpec((1, Nq, Nk), lambda b, h, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return q_spec, kv_spec, mask_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6, 7))
+def _masked_attention(q, k, v, mask, dropout_rate, seed, deterministic,
+                      num_heads):
+    out, _ = _masked_fwd_rule(
+        q, k, v, mask, dropout_rate, seed, deterministic, num_heads
+    )
+    return out
+
+
+def _masked_fwd_rule(q, k, v, mask, dropout_rate, seed, deterministic, H):
+    B, Nq, E = q.shape
+    Nk = k.shape[1]
+    D = E // H
+    rate = 0.0 if deterministic else dropout_rate
+    hc = _head_chunk(H, max(Nq, Nk), D)
+    if hc is None:
+        raise ValueError(
+            f"pallas masked attention unsupported at H={H}, Nq={Nq}, Nk={Nk}; "
+            "check masked_attention_supported() and use the XLA path"
+        )
+    q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // hc),
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((hc, Nq, D), jnp.float32),
+                        pltpu.VMEM((hc, Nk, D), jnp.float32),
+                        pltpu.VMEM((hc, Nk, D), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_masked_fwd_kernel, hc=hc, head_dim=D,
+                          dropout_rate=rate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nq, E), q.dtype),
+    )(seed, q, k, v, mask)
+    return out, (q, k, v, mask, seed)
+
+
+def _masked_bwd_rule(dropout_rate, deterministic, H, res, g_out):
+    q, k, v, mask, seed = res
+    B, Nq, E = q.shape
+    Nk = k.shape[1]
+    D = E // H
+    rate = 0.0 if deterministic else dropout_rate
+    hc = _head_chunk(H, max(Nq, Nk), D)
+    q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // hc),
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec),
+        scratch_shapes=[pltpu.VMEM((hc, Nq, D), jnp.float32),
+                        pltpu.VMEM((hc, Nk, D), jnp.float32),
+                        pltpu.VMEM((hc, Nk, D), jnp.float32),
+                        pltpu.VMEM((hc, Nq, D), jnp.float32)],
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_masked_bwd_kernel, hc=hc, head_dim=D,
+                          dropout_rate=rate),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Nq, E), q.dtype),
+            jax.ShapeDtypeStruct((B, Nk, E), k.dtype),
+            jax.ShapeDtypeStruct((B, Nk, E), v.dtype),
+        ),
+    )(seed, q, k, v, mask, g_out.astype(q.dtype))
+    # the additive mask derives from integer attention masks — zero cotangent
+    return dq, dk, dv, jnp.zeros_like(mask), None
+
+
+_masked_attention.defvjp(_masked_fwd_rule, _masked_bwd_rule)
+
+
+def masked_attention_pallas(
+    q: jnp.ndarray,      # [B, Nq, E] token-major (E = H*D, heads contiguous)
+    k: jnp.ndarray,      # [B, Nk, E]
+    v: jnp.ndarray,      # [B, Nk, E]
+    mask_bias: jnp.ndarray,  # additive key mask [B, 1, Nk] (or [B,1,1,Nk])
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Fused masked attention (BERT semantics); returns out [B, Nq, E]."""
+    if mask_bias.ndim == 4:
+        mask_bias = mask_bias[:, 0]
+    mask_bias = jnp.broadcast_to(
+        mask_bias.astype(jnp.float32), (q.shape[0], q.shape[1], k.shape[1])
+    )
+    seed = _seed_from_rng(dropout_rng)
+    det = deterministic or dropout_rate == 0.0 or dropout_rng is None
+    return _masked_attention(
+        q, k, v, mask_bias, float(dropout_rate), seed, bool(det),
+        int(num_heads),
+    )
+
+
 def pair_bias_attention_pallas(
     q: jnp.ndarray,      # [B, N, E] token-major (E = H*D, heads contiguous)
     k: jnp.ndarray,      # [B, N, E]

@@ -151,6 +151,105 @@ class TestPallasDropout:
         assert not np.allclose(np.asarray(o), np.asarray(o_det))
 
 
+class TestMaskedAttention:
+    """Fused BERT-style masked attention (ChemBERTa + cross-modal layers) vs
+    the XLA oracle: values, grads, cross-shaped Nq != Nk, dropout replay."""
+
+    def _mask(self, B, Nk, n_pad, fill=-10000.0):
+        m = np.zeros((B, 1, 1, Nk), np.float32)
+        m[:, :, :, Nk - n_pad:] = fill
+        return jnp.asarray(m)
+
+    def test_forward_matches_xla(self):
+        from mmdti_tpu.ops.attention import cross_attention_xla
+
+        B, H, Nq, Nk, D = 2, 2, 16, 24, 8
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, Nq, H * D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, Nk, H * D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, Nk, H * D).astype(np.float32))
+        mask = self._mask(B, Nk, 5)
+        o_p = pa.masked_attention_pallas(q, k, v, mask, num_heads=H)
+        o_x = cross_attention_xla(_heads(q, H), _heads(k, H), _heads(v, H), mask)
+        o_x = o_x.transpose(0, 2, 1, 3).reshape(B, Nq, H * D)
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=1e-5)
+
+    def test_grads_match_xla(self):
+        from mmdti_tpu.ops.attention import cross_attention_xla
+
+        B, H, Nq, Nk, D = 2, 2, 16, 16, 8
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(B, Nq, H * D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, Nk, H * D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, Nk, H * D).astype(np.float32))
+        mask = self._mask(B, Nk, 3)
+
+        def loss_p(q, k, v):
+            return (pa.masked_attention_pallas(q, k, v, mask, num_heads=H) ** 2).sum()
+
+        def loss_x(q, k, v):
+            o = cross_attention_xla(_heads(q, H), _heads(k, H), _heads(v, H), mask)
+            return (o ** 2).sum()
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gx, gp):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"grad {name}"
+            )
+
+    def test_hf_finfo_min_mask(self):
+        """ChemBERTa uses (1-mask)*finfo.min — must not produce NaNs."""
+        B, H, N, D = 1, 2, 16, 8
+        rng = np.random.RandomState(2)
+        q, k, v = (jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+                   for _ in range(3))
+        mask = self._mask(B, N, 6, fill=float(np.finfo(np.float32).min))
+        o = pa.masked_attention_pallas(q, k, v, mask, num_heads=H)
+        assert np.isfinite(np.asarray(o)).all()
+
+
+class TestMaskedAttentionDropout:
+    @pytest.fixture(autouse=True)
+    def _fake_prng(self, monkeypatch):
+        def fake_keep(seed_ref, shape, rate):
+            pid = (pa.pl.program_id(0) * pa.pl.num_programs(1)
+                   + pa.pl.program_id(1))
+            base = (seed_ref[0] + pid).astype(jnp.uint32)
+            idx = jnp.zeros(shape, jnp.uint32)
+            for d in range(len(shape)):
+                idx = idx * jnp.uint32(8191) + jax.lax.broadcasted_iota(
+                    jnp.uint32, shape, d
+                )
+            h = (idx + base) * jnp.uint32(2654435761)
+            return (h % jnp.uint32(1000)).astype(jnp.float32) >= rate * 1000.0
+
+        monkeypatch.setattr(pa, "_keep_mask", fake_keep)
+
+    def test_replay(self):
+        """bwd must replay the fwd dropout mask: <f(v), g> == <v, J^T g>."""
+        B, H, N, D, rate = 1, 2, 16, 8, 0.25
+        rng_np = np.random.RandomState(3)
+        q, k, v = (jnp.asarray(rng_np.randn(B, N, H * D).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.zeros((B, 1, 1, N), jnp.float32)
+        key = jax.random.PRNGKey(5)
+
+        def fwd(vv):
+            return pa.masked_attention_pallas(
+                q, k, vv, mask, num_heads=H, dropout_rate=rate,
+                dropout_rng=key, deterministic=False,
+            )
+
+        o = fwd(v)
+        g = jnp.asarray(rng_np.randn(*o.shape).astype(np.float32))
+        _, vjp_fn = jax.vjp(fwd, v)
+        (dv,) = vjp_fn(g)
+        np.testing.assert_allclose(
+            float(jnp.vdot(o, g)), float(jnp.vdot(v, dv)), rtol=1e-4
+        )
+
+
 class TestSupportedShapes:
     def test_policy(self):
         from mmdti_tpu.ops.pallas_attention import pallas_attention_supported

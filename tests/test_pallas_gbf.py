@@ -188,13 +188,10 @@ class TestFullModelPallasPath:
                 use_pallas=use_pallas,
             )
 
-        # N=64 -> the pallas path threads the pair chain lane-packed
-        # ([B,H//2,N,2N]); this test covers pack -> 2 layers -> unpack plus
-        # the fused gbf kernel, against the XLA model on the same params.
-        from mmdti_tpu.ops.pallas_attention import pair_bias_is_packed
-
+        # N=64 covers the flagship sequence shape end to end: fused gbf
+        # kernel + fused pair-bias attention + fused masked bert/cross-modal
+        # attention, against the XLA model on the same params.
         B, N, L = 2, 64, 8
-        assert pair_bias_is_packed(N)
         rng = np.random.RandomState(0)
         toks = rng.randint(3, 8, (B, N)).astype(np.int32)
         toks[:, -2:] = 1  # padded tail
