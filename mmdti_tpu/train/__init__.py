@@ -11,6 +11,21 @@ if _os.environ.get("MMDTI_PRNG", "rbg") == "rbg":
     except Exception:  # pragma: no cover - very old jax
         pass
 
+# Persistent XLA compilation cache: the first flagship compile costs 10-70s
+# (remote compile through the tunnel; CPU compiles of even small models run
+# 30-120s on this host), so fresh processes (bench, finetune, scripts, test
+# re-runs) reuse on-disk executables.  Opt out with MMDTI_COMPILE_CACHE=off,
+# or point it elsewhere with MMDTI_COMPILE_CACHE=<dir>.
+_cache_dir = _os.environ.get(
+    "MMDTI_COMPILE_CACHE", _os.path.expanduser("~/.cache/mmdti_tpu_xla")
+)
+if _cache_dir.lower() not in ("off", "0", ""):
+    try:  # fails open: unsupported backends just skip the cache
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
+
 from mmdti_tpu.train.optim import linear_warmup_schedule, make_optimizer  # noqa: F401
 from mmdti_tpu.train.trainer import (  # noqa: F401
     Trainer,
