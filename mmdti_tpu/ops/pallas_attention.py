@@ -106,16 +106,23 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, logits_ref,
     ) + bias_ref[0].astype(jnp.float32)
     logits_ref[0] = logits.astype(logits_ref.dtype)
 
-    probs = _softmax_from_logits(logits)
+    # softmax with the normalizer factored out of the PV matmul: the row
+    # constant 1/s scales the [hc,N,D] output instead of dividing the
+    # [hc,N,N] probs — one fewer full-pair VPU pass per layer.
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(logits - m)
+    inv_s = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
-        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
+        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
+        p = jnp.where(keep, p, 0.0)
+        inv_s = inv_s * (1.0 / (1.0 - dropout_rate))
 
     out = jax.lax.dot_general(
-        probs, v,
+        p, v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * inv_s
     _spread_heads(out, out_ref, hc, D)
 
 
@@ -336,15 +343,20 @@ def _masked_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) + mask_ref[0].astype(jnp.float32)[None]          # [hc, Nq, Nk]
-    probs = _softmax_from_logits(logits)
+    # normalizer factored out of the PV matmul (see the pair-bias fwd kernel)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(logits - m)
+    inv_s = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
-        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
+        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
+        p = jnp.where(keep, p, 0.0)
+        inv_s = inv_s * (1.0 / (1.0 - dropout_rate))
     out = jax.lax.dot_general(
-        probs, v,
+        p, v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * inv_s
     _spread_heads(out, out_ref, hc, D)
 
 
