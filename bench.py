@@ -137,6 +137,22 @@ def main():
 
     mols_per_sec = BATCH * STEPS / dt
     step_s = dt / STEPS
+
+    # inference forward (serving path): deterministic fwd, same chain method
+    @jax.jit
+    def infer_chain(c, p):
+        out = model.apply({"params": p}, **feats, deterministic=True)
+        return c + out["logits"].sum()
+
+    c = jnp.zeros(())
+    for _ in range(10):
+        c = infer_chain(c, params)
+    float(c)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        c = infer_chain(c, params)
+    float(c)
+    infer_s = (time.perf_counter() - t0) / STEPS
     print(
         json.dumps(
             {
@@ -145,6 +161,8 @@ def main():
                 "unit": "mols/sec/chip",
                 "vs_baseline": round(mols_per_sec / ESTIMATED_REFERENCE_MOLS_PER_SEC, 3),
                 "step_ms": round(step_s * 1e3, 2),
+                "inference_fwd_ms": round(infer_s * 1e3, 2),
+                "inference_mols_per_sec": round(BATCH / infer_s, 1),
                 "hlo_bytes_per_step": int(hlo_bytes),
                 "est_hbm_bytes_per_step": int(est_hbm_bytes),
                 "achieved_gb_per_s": round(est_hbm_bytes / step_s / 1e9, 2),

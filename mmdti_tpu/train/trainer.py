@@ -48,23 +48,47 @@ from mmdti_tpu.utils.metrics import Metrics
 _FEATURE_KEYS = ("src_tokens", "src_distance", "src_edge_type", "input_ids", "attention_mask")
 
 
-def checkpoint_path(dump_dir: str, fold: int) -> str:
-    return os.path.join(dump_dir, f"model_{fold}.ckpt")
+def checkpoint_path(dump_dir: str, fold: int, backend: str = "msgpack") -> str:
+    ext = "orbax" if backend == "orbax" else "ckpt"
+    return os.path.join(dump_dir, f"model_{fold}.{ext}")
 
 
-def save_checkpoint(dump_dir: str, fold: int, params, fds_state=None) -> None:
+def save_checkpoint(dump_dir: str, fold: int, params, fds_state=None,
+                    backend: str = "msgpack") -> None:
+    """Persist the best-weights checkpoint (the MolPredict contract artifact).
+
+    backend='msgpack' (default): single flax-msgpack file, reference-style.
+    backend='orbax': an Orbax PyTree checkpoint directory — the JAX
+    ecosystem's standard format (sharded-array friendly, multi-host capable);
+    select via MolTrain(checkpoint_backend='orbax').  Loads autodetect.
+    """
     os.makedirs(dump_dir, exist_ok=True)
-    blob = flax.serialization.msgpack_serialize(
-        {
-            "params": jax.tree.map(np.asarray, params),
-            "fds": jax.tree.map(np.asarray, fds_state) if fds_state is not None else {},
-        }
-    )
+    tree = {
+        "params": jax.tree.map(np.asarray, params),
+        "fds": jax.tree.map(np.asarray, fds_state) if fds_state is not None else {},
+    }
+    if backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(checkpoint_path(dump_dir, fold, "orbax"))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        ocp.PyTreeCheckpointer().save(path, tree)
+        return
+    blob = flax.serialization.msgpack_serialize(tree)
     with open(checkpoint_path(dump_dir, fold), "wb") as f:
         f.write(blob)
 
 
 def load_checkpoint(dump_dir: str, fold: int) -> Dict[str, Any]:
+    """Load a best-weights checkpoint, autodetecting the backend format."""
+    orbax_path = checkpoint_path(dump_dir, fold, "orbax")
+    if os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(orbax_path))
     with open(checkpoint_path(dump_dir, fold), "rb") as f:
         return flax.serialization.msgpack_restore(f.read())
 
@@ -132,6 +156,7 @@ class Trainer:
         self.ct_w = float(params.get("ct_w", 0.2))
         # full-state checkpointing every N epochs (0 = off) + resume
         self.checkpoint_interval = int(params.get("checkpoint_interval", 0) or 0)
+        self.checkpoint_backend = params.get("checkpoint_backend", "msgpack")
         self.resume = bool(params.get("resume", False))
         # train steps fused per device dispatch (amortizes host/RPC latency)
         self.steps_per_call = int(params.get("steps_per_call", 4) or 1)
@@ -527,7 +552,8 @@ class Trainer:
             jax.profiler.stop_trace()
             logger.info("Profiler trace written to %s", self.profile_dir)
 
-        save_checkpoint(dump_dir, fold, best_params, best_fds)
+        save_checkpoint(dump_dir, fold, best_params, best_fds,
+                        backend=self.checkpoint_backend)
         # final predict with best weights
         y_preds, _, _ = self.predict(
             model, params, valid_dataset, loss_fn, activation_fn,

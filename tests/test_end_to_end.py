@@ -59,6 +59,46 @@ class TestTrainArtifacts:
         assert cfg.num_classes == 1
 
 
+class TestOrbaxCheckpointBackend:
+    def test_orbax_roundtrip_unit(self, tmp_path):
+        """save_checkpoint(backend='orbax') round-trips through the
+        autodetecting load_checkpoint."""
+        import jax.numpy as jnp
+
+        from mmdti_tpu.train import load_checkpoint, save_checkpoint
+
+        params = {"dense": {"kernel": jnp.arange(6.0).reshape(2, 3),
+                            "bias": jnp.zeros((3,))}}
+        save_checkpoint(str(tmp_path), 0, params, None, backend="orbax")
+        assert os.path.isdir(os.path.join(str(tmp_path), "model_0.orbax"))
+        restored = load_checkpoint(str(tmp_path), 0)
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["dense"]["kernel"]),
+            np.arange(6.0).reshape(2, 3),
+        )
+        assert restored["fds"] == {}
+
+    def test_train_predict_with_orbax(self, tiny_csv_module, tmp_path):
+        """Full MolTrain(checkpoint_backend='orbax') -> MolPredict contract."""
+        train_p, val_p, _ = tiny_csv_module
+        exp = str(tmp_path / "exp_orbax")
+        from mmdti_tpu import MolPredict, MolTrain
+
+        clf = MolTrain(
+            task="regression", epochs=1, learning_rate=1e-3, batch_size=8,
+            early_stopping=5, metrics="mse", smiles_col="smiles",
+            save_path=exp, target_cols=["measured"], seed=42,
+            compute_dtype="float32", use_pallas=False,
+            checkpoint_backend="orbax", **SMALL_ARCH,
+        )
+        clf.fit(train_p, val_p)
+        assert os.path.isdir(os.path.join(exp, "model_0.orbax"))
+        assert not os.path.exists(os.path.join(exp, "model_0.ckpt"))
+        out = str(tmp_path / "pred_orbax")
+        pred = MolPredict(load_model=exp).predict(val_p, save_path=out)
+        assert np.isfinite(np.asarray(pred)).all()
+
+
 class TestPredict:
     def test_predict_with_truth(self, trained_exp, tmp_path):
         exp, _, val_p = trained_exp
