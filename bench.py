@@ -140,17 +140,17 @@ def main():
 
     # inference forward (serving path): deterministic fwd, same chain method
     @jax.jit
-    def infer_chain(c, p):
+    def infer_chain(c, p, feats):
         out = model.apply({"params": p}, **feats, deterministic=True)
         return c + out["logits"].sum()
 
     c = jnp.zeros(())
     for _ in range(10):
-        c = infer_chain(c, params)
+        c = infer_chain(c, params, feats)
     float(c)
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        c = infer_chain(c, params)
+        c = infer_chain(c, params, feats)
     float(c)
     infer_s = (time.perf_counter() - t0) / STEPS
     print(

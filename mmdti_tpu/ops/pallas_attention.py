@@ -70,6 +70,34 @@ def _softmax_from_logits(logits):
     return p / jnp.maximum(s, 1e-30)
 
 
+def _softmax_factored(seed_ref, logits, dropout_rate):
+    """(p, inv_s): UNnormalized probs (dropout applied) and the row constant
+    1/s (with the dropout keep-scale folded in).  The caller multiplies the
+    PV matmul output by inv_s — one fewer full-pair VPU pass than dividing p.
+    """
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # guard fully-masked rows
+    p = jnp.exp(logits - m)
+    inv_s = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
+        p = jnp.where(keep, p, 0.0)
+        inv_s = inv_s * (1.0 / (1.0 - dropout_rate))
+    return p, inv_s
+
+
+def _softmax_bwd_terms(seed_ref, logits, dropout_rate):
+    """(probs, dropped, dmask): softmax probs, dropout-applied probs, and the
+    dropout Jacobian mask (None when no dropout) — the fwd PRNG stream is
+    replayed bit-identically via the shared (seed, program) seeding."""
+    probs = _softmax_from_logits(logits)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        return probs, jnp.where(keep, probs * inv, 0.0), jnp.where(keep, inv, 0.0)
+    return probs, probs, None
+
+
 def _marshal_heads(block, buf, hc, D):
     """[N, hc*D] lane groups -> buf [hc, N, D]; returns the gathered vector.
 
@@ -106,17 +134,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, logits_ref,
     ) + bias_ref[0].astype(jnp.float32)
     logits_ref[0] = logits.astype(logits_ref.dtype)
 
-    # softmax with the normalizer factored out of the PV matmul: the row
-    # constant 1/s scales the [hc,N,D] output instead of dividing the
-    # [hc,N,N] probs — one fewer full-pair VPU pass per layer.
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    p = jnp.exp(logits - m)
-    inv_s = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-    if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
-        p = jnp.where(keep, p, 0.0)
-        inv_s = inv_s * (1.0 / (1.0 - dropout_rate))
+    p, inv_s = _softmax_factored(seed_ref, logits, dropout_rate)
 
     out = jax.lax.dot_general(
         p, v,
@@ -133,15 +151,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
     scale = D ** -0.5
     logits = logits_ref[0].astype(jnp.float32)
 
-    probs = _softmax_from_logits(logits)
-    if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
-        inv = 1.0 / (1.0 - dropout_rate)
-        dropped = jnp.where(keep, probs * inv, 0.0)
-        dmask = jnp.where(keep, inv, 0.0)
-    else:
-        dropped = probs
-        dmask = None
+    probs, dropped, dmask = _softmax_bwd_terms(seed_ref, logits, dropout_rate)
 
     q = _marshal_heads(q_ref[0], qb, hc, D)
     k = _marshal_heads(k_ref[0], kb, hc, D)
@@ -343,15 +353,7 @@ def _masked_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) + mask_ref[0].astype(jnp.float32)[None]          # [hc, Nq, Nk]
-    # normalizer factored out of the PV matmul (see the pair-bias fwd kernel)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    p = jnp.exp(logits - m)
-    inv_s = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-    if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
-        p = jnp.where(keep, p, 0.0)
-        inv_s = inv_s * (1.0 / (1.0 - dropout_rate))
+    p, inv_s = _softmax_factored(seed_ref, logits, dropout_rate)
     out = jax.lax.dot_general(
         p, v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -382,15 +384,7 @@ def _masked_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, gout_ref,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) + mask_ref[0].astype(jnp.float32)[None]
-    probs = _softmax_from_logits(logits)
-    if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
-        inv = 1.0 / (1.0 - dropout_rate)
-        dropped = jnp.where(keep, probs * inv, 0.0)
-        dmask = jnp.where(keep, inv, 0.0)
-    else:
-        dropped = probs
-        dmask = None
+    probs, dropped, dmask = _softmax_bwd_terms(seed_ref, logits, dropout_rate)
 
     dv = jax.lax.dot_general(
         dropped, g_out,

@@ -62,23 +62,34 @@ def save_checkpoint(dump_dir: str, fold: int, params, fds_state=None,
     ecosystem's standard format (sharded-array friendly, multi-host capable);
     select via MolTrain(checkpoint_backend='orbax').  Loads autodetect.
     """
+    if backend not in ("msgpack", "orbax"):
+        raise ValueError(
+            f"unknown checkpoint_backend {backend!r}; expected 'msgpack' or 'orbax'"
+        )
     os.makedirs(dump_dir, exist_ok=True)
     tree = {
         "params": jax.tree.map(np.asarray, params),
         "fds": jax.tree.map(np.asarray, fds_state) if fds_state is not None else {},
     }
-    if backend == "orbax":
-        import shutil
+    import shutil
 
+    # remove the OTHER format's stale artifact so the autodetecting load
+    # can never serve weights from an earlier run with a different backend
+    orbax_path = os.path.abspath(checkpoint_path(dump_dir, fold, "orbax"))
+    msgpack_path = checkpoint_path(dump_dir, fold)
+    if backend == "orbax":
+        if os.path.isdir(orbax_path):
+            shutil.rmtree(orbax_path)
+        if os.path.exists(msgpack_path):
+            os.remove(msgpack_path)
         import orbax.checkpoint as ocp
 
-        path = os.path.abspath(checkpoint_path(dump_dir, fold, "orbax"))
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        ocp.PyTreeCheckpointer().save(path, tree)
+        ocp.PyTreeCheckpointer().save(orbax_path, tree)
         return
+    if os.path.isdir(orbax_path):
+        shutil.rmtree(orbax_path)
     blob = flax.serialization.msgpack_serialize(tree)
-    with open(checkpoint_path(dump_dir, fold), "wb") as f:
+    with open(msgpack_path, "wb") as f:
         f.write(blob)
 
 

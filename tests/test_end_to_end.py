@@ -78,6 +78,26 @@ class TestOrbaxCheckpointBackend:
         )
         assert restored["fds"] == {}
 
+    def test_backend_switch_removes_stale_artifact(self, tmp_path):
+        """Re-saving with a different backend must delete the other format's
+        artifact — otherwise the autodetecting load serves stale weights."""
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from mmdti_tpu.train import load_checkpoint, save_checkpoint
+
+        p1 = {"w": jnp.ones((2, 2))}
+        p2 = {"w": jnp.full((2, 2), 7.0)}
+        d = str(tmp_path)
+        save_checkpoint(d, 0, p1, None, backend="orbax")
+        save_checkpoint(d, 0, p2, None, backend="msgpack")
+        assert not os.path.isdir(os.path.join(d, "model_0.orbax"))
+        restored = load_checkpoint(d, 0)
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                      np.full((2, 2), 7.0))
+        with _pytest.raises(ValueError):
+            save_checkpoint(d, 0, p1, None, backend="Orbax")
+
     def test_train_predict_with_orbax(self, tiny_csv_module, tmp_path):
         """Full MolTrain(checkpoint_backend='orbax') -> MolPredict contract."""
         train_p, val_p, _ = tiny_csv_module
