@@ -86,16 +86,35 @@ def _softmax_factored(seed_ref, logits, dropout_rate):
     return p, inv_s
 
 
-def _softmax_bwd_terms(seed_ref, logits, dropout_rate):
-    """(probs, dropped, dmask): softmax probs, dropout-applied probs, and the
-    dropout Jacobian mask (None when no dropout) — the fwd PRNG stream is
-    replayed bit-identically via the shared (seed, program) seeding."""
-    probs = _softmax_from_logits(logits)
+def _attention_bwd_core(seed_ref, logits, dp_raw, dropout_rate):
+    """Softmax+dropout backward in factored form: from the logits and
+    dp_raw = g_out @ v^T, returns
+
+      dl      [*,N,N]  logits cotangent (before any +g_logits term),
+      pd_un   [*,N,N]  UNnormalized dropout-applied probs,
+      g_scale [*,N,1]  row constant such that dv = pd_un^T @ (g_out*g_scale).
+
+    Equivalent to the textbook probs/dropped/dmask formulation but never
+    materializes probs or the dropout Jacobian as separate full-pair
+    tensors; the fwd PRNG stream is replayed bit-identically via the shared
+    (seed, program) seeding."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # guard fully-masked rows
+    p_un = jnp.exp(logits - m)
+    inv_s = 1.0 / jnp.maximum(jnp.sum(p_un, axis=-1, keepdims=True), 1e-30)
     if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, probs.shape, dropout_rate)
+        keep = _keep_mask(seed_ref, p_un.shape, dropout_rate)
         inv = 1.0 / (1.0 - dropout_rate)
-        return probs, jnp.where(keep, probs * inv, 0.0), jnp.where(keep, inv, 0.0)
-    return probs, probs, None
+        pd_un = jnp.where(keep, p_un, 0.0)
+        dp_eff = jnp.where(keep, dp_raw * inv, 0.0)
+        g_scale = inv_s * inv
+    else:
+        pd_un = p_un
+        dp_eff = dp_raw
+        g_scale = inv_s
+    r = jnp.sum(dp_eff * p_un, axis=-1, keepdims=True) * inv_s
+    dl = p_un * ((dp_eff - r) * inv_s)
+    return dl, pd_un, g_scale
 
 
 def _marshal_heads(block, buf, hc, D):
@@ -151,30 +170,27 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
     scale = D ** -0.5
     logits = logits_ref[0].astype(jnp.float32)
 
-    probs, dropped, dmask = _softmax_bwd_terms(seed_ref, logits, dropout_rate)
-
     q = _marshal_heads(q_ref[0], qb, hc, D)
     k = _marshal_heads(k_ref[0], kb, hc, D)
     v = _marshal_heads(v_ref[0], vb, hc, D)
     g_out = _marshal_heads(gout_ref[0], gb, hc, D)
 
-    # dv = dropped^T @ g_out    [hc, N, D]
+    # dP_raw = g_out @ v^T      [hc, N, N]
+    dp_raw = jax.lax.dot_general(
+        g_out, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dl, pd_un, g_scale = _attention_bwd_core(seed_ref, logits, dp_raw, dropout_rate)
+
+    # dv = dropped^T @ g_out = pd_un^T @ (g_out * row-scale)   [hc, N, D]
     dv = jax.lax.dot_general(
-        dropped, g_out,
+        pd_un, g_out * g_scale,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     _spread_heads(dv, dv_ref, hc, D)
 
-    # dP = g_out @ v^T          [hc, N, N]
-    dp = jax.lax.dot_general(
-        g_out, v,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if dmask is not None:
-        dp = dp * dmask
-    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
     dl = dl + glog_ref[0].astype(jnp.float32)
     dbias_ref[0] = dl.astype(dbias_ref.dtype)
 
@@ -384,23 +400,20 @@ def _masked_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, gout_ref,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) + mask_ref[0].astype(jnp.float32)[None]
-    probs, dropped, dmask = _softmax_bwd_terms(seed_ref, logits, dropout_rate)
 
-    dv = jax.lax.dot_general(
-        dropped, g_out,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    _spread_heads(dv, dv_ref, hc, D)
-
-    dp = jax.lax.dot_general(
+    dp_raw = jax.lax.dot_general(
         g_out, v,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    if dmask is not None:
-        dp = dp * dmask
-    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dl, pd_un, g_scale = _attention_bwd_core(seed_ref, logits, dp_raw, dropout_rate)
+
+    dv = jax.lax.dot_general(
+        pd_un, g_out * g_scale,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    _spread_heads(dv, dv_ref, hc, D)
 
     dq = jax.lax.dot_general(
         dl, k,
