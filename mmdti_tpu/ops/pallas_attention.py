@@ -53,9 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _keep_mask(seed_ref, shape, rate):
     """Dropout keep-mask from raw PRNG bits (uint32 threshold compare — no
     float conversion).  Seeded per (batch, head-chunk) program so the backward
-    replays the identical stream.  (uint16 bits would halve the generation
-    cost, but v5e Mosaic rejects sub-32-bit unsigned compares: "Target does
-    not support this comparison".)"""
+    replays the identical stream.  (16-bit thresholds would halve the
+    generation cost, but v5e Mosaic rejects sub-32-bit compares, both
+    unsigned AND signed: "Target does not support this comparison".)"""
     pltpu.prng_seed(
         seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     )
