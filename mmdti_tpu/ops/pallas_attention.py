@@ -56,9 +56,10 @@ def _keep_mask(seed_ref, shape, rate):
     replays the identical stream.  (16-bit thresholds would halve the
     generation cost, but v5e Mosaic rejects sub-32-bit compares, both
     unsigned AND signed: "Target does not support this comparison".)"""
-    pltpu.prng_seed(
-        seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    )
+    flat_pid = (
+        pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    ) * pl.num_programs(2) + pl.program_id(2)
+    pltpu.prng_seed(seed_ref[0] + flat_pid)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     cutoff = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
     return bits >= cutoff
@@ -139,6 +140,19 @@ def _spread_heads(x, out_ref, hc, D, start=0):
         )
 
 
+def _accum_heads(x, out_ref, hc, D):
+    """Accumulating _spread_heads for outputs revisited across q-row blocks
+    (dk/dv): the first row block of a (batch, head-chunk) pair assigns, the
+    rest add.  The revolving output block stays VMEM-resident because its
+    index_map ignores the row-block grid dim."""
+    first = pl.program_id(2) == 0
+    for h in range(hc):
+        cur = jnp.where(
+            first, 0.0, out_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+        )
+        out_ref[0, :, h * D:(h + 1) * D] = (cur + x[h]).astype(out_ref.dtype)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, logits_ref,
                 qb, kb, vb, *, hc: int, head_dim: int,
                 dropout_rate: float):
@@ -186,12 +200,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
     dl, pd_un, g_scale = _attention_bwd_core(seed_ref, logits, dp_raw, dropout_rate)
 
     # dv = dropped^T @ g_out = pd_un^T @ (g_out * row-scale)   [hc, N, D]
+    # (partial over this q-row block; accumulated across blocks)
     dv = jax.lax.dot_general(
         pd_un, g_out * g_scale,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    _spread_heads(dv, dv_ref, hc, D)
+    _accum_heads(dv, dv_ref, hc, D)
 
     dl = dl + glog_ref[0].astype(jnp.float32)
     dbias_ref[0] = dl.astype(dbias_ref.dtype)
@@ -207,49 +222,78 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
         preferred_element_type=jnp.float32,
     ) * scale
     _spread_heads(dq, dq_ref, hc, D)
-    _spread_heads(dk, dk_ref, hc, D)
+    _accum_heads(dk, dk_ref, hc, D)
 
 
-def _head_chunk(H: int, N: int, D: int):
-    """Head-chunk size, or None when the kernels can't run at these shapes.
+# VMEM envelope for the kernels, in pair elements per program: the bwd
+# working set is ~66 bytes per (head, q-row, key) element (fp32
+# logits/p/dp/dl values + double-buffered bf16 in/out blocks; hc=64,N=64
+# measured 17.4MB > the 16MB VMEM).
+_VMEM_ELEM_CAP = 240_000
 
-    Constraints:
-      * Mosaic lane rule: the token-block minor dim hc*D must be 128-divisible
-        (or equal the full E = H*D);
-      * VMEM: the bwd kernel's working set is ~66 bytes per (head, pair)
-        element (fp32 probs/dP/dL/logits + double-buffered bf16 in/out
-        blocks; hc=64,N=64 measured 17.4MB > the 16MB VMEM), so hc*N^2 is
-        capped at ~240K elements.
-    Returns the largest feasible divisor of H; None -> caller must use the
-    XLA path (long-sequence batches fall back automatically).
+
+def _lane_legal_chunks(H: int, D: int):
+    """Head chunks obeying the Mosaic lane rule: the token-block minor dim
+    hc*D must be 128-divisible (or the chunk must be the full E = H*D)."""
+    return [
+        hc for hc in range(1, H + 1)
+        if H % hc == 0 and ((hc * D) % 128 == 0 or hc == H)
+    ]
+
+
+def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int):
+    """(head_chunk, q_row_block) or None when the shapes are unsupported.
+
+    Short sequences (flagship N<=96): the LARGEST lane-legal head chunk whose
+    full-row working set fits the VMEM cap — one program per (batch,
+    head-chunk), q-block = all rows.
+
+    Long sequences (N=160/256, the reference max_atoms regime): flash-style
+    q-row blocking — the smallest lane-legal head chunk, then the largest
+    row block (multiple of 8 dividing n_rows) under the cap.  k/v (and their
+    grad accumulators) stay VMEM-resident across the row blocks of a
+    (batch, head-chunk) pair, so only q/out/pair blocks stream.
     """
+    legal = _lane_legal_chunks(H, D)
     best = None
-    for hc in range(1, H + 1):
-        if H % hc:
-            continue
-        if (hc * D) % 128 != 0 and hc != H:
-            continue
-        if hc * N * N <= 240_000:
-            best = hc
-    return best
+    for hc in legal:
+        if hc * n_rows * n_cols <= _VMEM_ELEM_CAP:
+            best = (hc, n_rows)
+    if best is not None:
+        return best
+    for hc in legal:  # ascending: smallest chunk leaves the most row room
+        max_qb = _VMEM_ELEM_CAP // (hc * n_cols)
+        qb = 0
+        for cand in range(8, n_rows, 8):
+            if n_rows % cand == 0 and cand <= max_qb:
+                qb = max(qb, cand)
+        if qb:
+            return (hc, qb)
+    return None
 
 
 def pallas_attention_supported(num_heads: int, head_dim: int, seq_len: int) -> bool:
     """Whether the fused kernels handle these shapes (else use the XLA path)."""
     return (
         seq_len % 8 == 0
-        and _head_chunk(num_heads, seq_len, head_dim) is not None
+        and _chunk_policy(num_heads, seq_len, seq_len, head_dim) is not None
     )
 
 
-def _tok_spec(N, hc, D):
-    """[B, N, H*D] array consumed as (1, N, hc*D) head-chunk blocks."""
-    return pl.BlockSpec((1, N, hc * D), lambda b, h, *_: (b, 0, h),
+def _q_spec(qb, hc, D):
+    """[B, N, H*D] array consumed as (1, qb, hc*D) row-block chunks."""
+    return pl.BlockSpec((1, qb, hc * D), lambda b, h, i, *_: (b, i, h),
                         memory_space=pltpu.VMEM)
 
 
-def _mat_spec(hc, N):
-    return pl.BlockSpec((1, hc, N, N), lambda b, h, *_: (b, h, 0, 0),
+def _kv_spec(N, hc, D):
+    """[B, N, H*D] keys/values: full rows, resident across q-row blocks."""
+    return pl.BlockSpec((1, N, hc * D), lambda b, h, i, *_: (b, 0, h),
+                        memory_space=pltpu.VMEM)
+
+
+def _mat_spec(hc, qb, N):
+    return pl.BlockSpec((1, hc, qb, N), lambda b, h, i, *_: (b, h, i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -274,18 +318,22 @@ def _run_fwd(q, k, v, bias, dropout_rate, seed, deterministic, H, pair_dtype):
     B, N, E = q.shape
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    hc = _head_chunk(H, N, D)
-    if hc is None:
+    policy = _chunk_policy(H, N, N, D)
+    if policy is None:
         raise ValueError(
             f"pallas pair-bias attention unsupported at H={H}, N={N}, D={D}; "
             "check pallas_attention_supported() and use the XLA path"
         )
+    hc, qb = policy
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // hc),
-        in_specs=[_tok_spec(N, hc, D)] * 3 + [_mat_spec(hc, N)],
-        out_specs=(_tok_spec(N, hc, D), _mat_spec(hc, N)),
-        scratch_shapes=[pltpu.VMEM((hc, N, D), jnp.float32)] * 3,
+        grid=(B, H // hc, N // qb),
+        in_specs=[_q_spec(qb, hc, D), _kv_spec(N, hc, D), _kv_spec(N, hc, D),
+                  _mat_spec(hc, qb, N)],
+        out_specs=(_q_spec(qb, hc, D), _mat_spec(hc, qb, N)),
+        scratch_shapes=[pltpu.VMEM((hc, qb, D), jnp.float32),
+                        pltpu.VMEM((hc, N, D), jnp.float32),
+                        pltpu.VMEM((hc, N, D), jnp.float32)],
     )
     out, logits = pl.pallas_call(
         functools.partial(_fwd_kernel, hc=hc, head_dim=D, dropout_rate=rate),
@@ -311,33 +359,45 @@ def _bwd_rule(dropout_rate, deterministic, H, pair_dtype, res, cotangents):
     B, N, E = q.shape
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    hc = _head_chunk(H, N, D)
-    if hc is None:
+    policy = _chunk_policy(H, N, N, D)
+    if policy is None:
         raise ValueError(
             f"pallas pair-bias attention unsupported at H={H}, N={N}, D={D}; "
             "check pallas_attention_supported() and use the XLA path"
         )
+    hc, qb = policy
+    # multi-row-block dk/dv accumulate across the sequential grid: keep the
+    # accumulator fp32 and cast once outside (a single block stays q.dtype)
+    multi = qb < N
+    dkv_dtype = jnp.float32 if multi else k.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // hc),
-        in_specs=[_tok_spec(N, hc, D)] * 3 + [_mat_spec(hc, N)]
-                 + [_tok_spec(N, hc, D), _mat_spec(hc, N)],
+        grid=(B, H // hc, N // qb),
+        in_specs=[_q_spec(qb, hc, D), _kv_spec(N, hc, D), _kv_spec(N, hc, D),
+                  _mat_spec(hc, qb, N), _q_spec(qb, hc, D),
+                  _mat_spec(hc, qb, N)],
         out_specs=(
-            _tok_spec(N, hc, D), _tok_spec(N, hc, D), _tok_spec(N, hc, D),
-            _mat_spec(hc, N),
+            _q_spec(qb, hc, D), _kv_spec(N, hc, D), _kv_spec(N, hc, D),
+            _mat_spec(hc, qb, N),
         ),
-        scratch_shapes=[pltpu.VMEM((hc, N, D), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((hc, qb, D), jnp.float32),
+                        pltpu.VMEM((hc, N, D), jnp.float32),
+                        pltpu.VMEM((hc, N, D), jnp.float32),
+                        pltpu.VMEM((hc, qb, D), jnp.float32)],
     )
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, hc=hc, head_dim=D, dropout_rate=rate),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, N, E), q.dtype),
-            jax.ShapeDtypeStruct((B, N, E), k.dtype),
-            jax.ShapeDtypeStruct((B, N, E), v.dtype),
+            jax.ShapeDtypeStruct((B, N, E), dkv_dtype),
+            jax.ShapeDtypeStruct((B, N, E), dkv_dtype),
             jax.ShapeDtypeStruct((B, H, N, N), jnp.dtype(pair_dtype)),
         ),
     )(seed, q, k, v, logits, g_out.astype(q.dtype), g_logits)
+    if multi:
+        dk = dk.astype(k.dtype)
+        dv = dv.astype(v.dtype)
     # grads for (q, k, v, bias, seed); rate/det/H/pair_dtype are nondiff.
     # bias enters as pair_dtype (same as the stored logits), so dbias is too.
     return dq, dk, dv, dbias, None
@@ -415,7 +475,7 @@ def _masked_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, gout_ref,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    _spread_heads(dv, dv_ref, hc, D)
+    _accum_heads(dv, dv_ref, hc, D)
 
     dq = jax.lax.dot_general(
         dl, k,
@@ -428,7 +488,7 @@ def _masked_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, gout_ref,
         preferred_element_type=jnp.float32,
     ) * scale
     _spread_heads(dq, dq_ref, hc, D)
-    _spread_heads(dk, dk_ref, hc, D)
+    _accum_heads(dk, dk_ref, hc, D)
 
 
 def masked_attention_supported(num_heads: int, head_dim: int, q_len: int,
@@ -437,14 +497,14 @@ def masked_attention_supported(num_heads: int, head_dim: int, q_len: int,
     return (
         q_len % 8 == 0
         and k_len % 8 == 0
-        and _head_chunk(num_heads, max(q_len, k_len), head_dim) is not None
+        and _chunk_policy(num_heads, q_len, k_len, head_dim) is not None
     )
 
 
-def _masked_specs(Nq, Nk, hc, D):
-    q_spec = _tok_spec(Nq, hc, D)
-    kv_spec = _tok_spec(Nk, hc, D)
-    mask_spec = pl.BlockSpec((1, Nq, Nk), lambda b, h, *_: (b, 0, 0),
+def _masked_specs(Nq, Nk, hc, qb, D):
+    q_spec = _q_spec(qb, hc, D)
+    kv_spec = _kv_spec(Nk, hc, D)
+    mask_spec = pl.BlockSpec((1, qb, Nk), lambda b, h, i, *_: (b, i, 0),
                              memory_space=pltpu.VMEM)
     return q_spec, kv_spec, mask_spec
 
@@ -463,19 +523,20 @@ def _masked_fwd_rule(q, k, v, mask, dropout_rate, seed, deterministic, H):
     Nk = k.shape[1]
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    hc = _head_chunk(H, max(Nq, Nk), D)
-    if hc is None:
+    policy = _chunk_policy(H, Nq, Nk, D)
+    if policy is None:
         raise ValueError(
             f"pallas masked attention unsupported at H={H}, Nq={Nq}, Nk={Nk}; "
             "check masked_attention_supported() and use the XLA path"
         )
-    q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, D)
+    hc, qb = policy
+    q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, qb, D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // hc),
+        grid=(B, H // hc, Nq // qb),
         in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
         out_specs=q_spec,
-        scratch_shapes=[pltpu.VMEM((hc, Nq, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((hc, qb, D), jnp.float32),
                         pltpu.VMEM((hc, Nk, D), jnp.float32),
                         pltpu.VMEM((hc, Nk, D), jnp.float32)],
     )
@@ -494,17 +555,19 @@ def _masked_bwd_rule(dropout_rate, deterministic, H, res, g_out):
     Nk = k.shape[1]
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    hc = _head_chunk(H, max(Nq, Nk), D)
-    q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, D)
+    hc, qb = _chunk_policy(H, Nq, Nk, D)
+    multi = qb < Nq
+    dkv_dtype = jnp.float32 if multi else k.dtype
+    q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, qb, D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // hc),
+        grid=(B, H // hc, Nq // qb),
         in_specs=[q_spec, kv_spec, kv_spec, mask_spec, q_spec],
         out_specs=(q_spec, kv_spec, kv_spec),
-        scratch_shapes=[pltpu.VMEM((hc, Nq, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((hc, qb, D), jnp.float32),
                         pltpu.VMEM((hc, Nk, D), jnp.float32),
                         pltpu.VMEM((hc, Nk, D), jnp.float32),
-                        pltpu.VMEM((hc, Nq, D), jnp.float32)],
+                        pltpu.VMEM((hc, qb, D), jnp.float32)],
     )
     dq, dk, dv = pl.pallas_call(
         functools.partial(_masked_bwd_kernel, hc=hc, head_dim=D,
@@ -512,10 +575,13 @@ def _masked_bwd_rule(dropout_rate, deterministic, H, res, g_out):
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, Nq, E), q.dtype),
-            jax.ShapeDtypeStruct((B, Nk, E), k.dtype),
-            jax.ShapeDtypeStruct((B, Nk, E), v.dtype),
+            jax.ShapeDtypeStruct((B, Nk, E), dkv_dtype),
+            jax.ShapeDtypeStruct((B, Nk, E), dkv_dtype),
         ),
     )(seed, q, k, v, mask, g_out.astype(q.dtype))
+    if multi:
+        dk = dk.astype(k.dtype)
+        dv = dv.astype(v.dtype)
     # the additive mask derives from integer attention masks — zero cotangent
     return dq, dk, dv, jnp.zeros_like(mask), None
 

@@ -250,14 +250,139 @@ class TestMaskedAttentionDropout:
         )
 
 
+class TestQRowBlocking:
+    """Force the flash-style multi-row-block path at small shapes (by
+    shrinking the VMEM element cap) and check values + grads against the
+    single-block path / XLA oracle, including dk/dv accumulation."""
+
+    @pytest.fixture(autouse=True)
+    def _small_cap(self, monkeypatch):
+        # H=2, D=8, N=32: full rows need 2*32*32=2048 elems; cap 1024 forces
+        # hc=2 (lane rule: hc==H), qb=16 -> 2 row blocks
+        monkeypatch.setattr(pa, "_VMEM_ELEM_CAP", 1024)
+        assert pa._chunk_policy(2, 32, 32, 8) == (2, 16)
+        yield
+
+    def test_pair_bias_fwd_bwd_match_xla(self):
+        H = 2
+        q, k, v, bias = _inputs(H=H, N=32, pad_tail=5)
+
+        def loss_x(q, k, v, b):
+            o, l = _xla(q, k, v, b, H)
+            lf = jnp.where(jnp.isfinite(l), l, 0.0)
+            return (o ** 2).sum() + 1e-3 * (lf ** 2).sum()
+
+        def loss_p(q, k, v, b):
+            o, l = pa.pair_bias_attention_pallas(q, k, v, b, num_heads=H)
+            lf = jnp.where(jnp.isfinite(l), l, 0.0)
+            return (o ** 2).sum() + 1e-3 * (lf ** 2).sum()
+
+        o_x, l_x = _xla(q, k, v, bias, H)
+        o_p, l_p = pa.pair_bias_attention_pallas(q, k, v, bias, num_heads=H)
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=1e-5)
+        fin = np.isfinite(np.asarray(l_x))
+        np.testing.assert_allclose(np.asarray(l_p)[fin], np.asarray(l_x)[fin],
+                                   atol=1e-5)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b in zip("qkvb", gx, gp):
+            a, b = np.asarray(a), np.asarray(b)
+            fin = np.isfinite(a) & np.isfinite(b)
+            np.testing.assert_allclose(a[fin], b[fin], atol=1e-4,
+                                       err_msg=f"grad {name} (multi-block)")
+
+    def test_masked_fwd_bwd_match_xla(self):
+        from mmdti_tpu.ops.attention import cross_attention_xla
+
+        B, H, Nq, Nk, D = 2, 2, 32, 24, 8
+        rng = np.random.RandomState(5)
+        q = jnp.asarray(rng.randn(B, Nq, H * D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, Nk, H * D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, Nk, H * D).astype(np.float32))
+        mask = np.zeros((B, 1, 1, Nk), np.float32)
+        mask[:, :, :, Nk - 4:] = -10000.0
+        mask = jnp.asarray(mask)
+        assert pa._chunk_policy(H, Nq, Nk, D) == (2, 16)
+
+        def loss_p(q, k, v):
+            return (pa.masked_attention_pallas(q, k, v, mask, num_heads=H) ** 2).sum()
+
+        def loss_x(q, k, v):
+            o = cross_attention_xla(_heads(q, H), _heads(k, H), _heads(v, H), mask)
+            return (o ** 2).sum()
+
+        np.testing.assert_allclose(
+            np.asarray(pa.masked_attention_pallas(q, k, v, mask, num_heads=H)),
+            np.asarray(
+                cross_attention_xla(_heads(q, H), _heads(k, H), _heads(v, H), mask)
+                .transpose(0, 2, 1, 3).reshape(B, Nq, H * D)
+            ),
+            atol=1e-5,
+        )
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gx, gp):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4,
+                err_msg=f"grad {name} (multi-block)",
+            )
+
+    def test_dropout_replay_multiblock(self):
+        """The PRNG stream keying includes the row-block grid dim: fwd/bwd
+        replay must hold across blocks (<f(v),g> == <v,J^T g>)."""
+        H, rate = 2, 0.3
+        q, k, v, bias = _inputs(H=H, pad_tail=0, N=32)
+        rng = jax.random.PRNGKey(11)
+
+        def fake_keep(seed_ref, shape, rate):
+            pid = (pa.pl.program_id(0) * pa.pl.num_programs(1)
+                   + pa.pl.program_id(1)) * pa.pl.num_programs(2) \
+                  + pa.pl.program_id(2)
+            base = (seed_ref[0] + pid).astype(jnp.uint32)
+            idx = jnp.zeros(shape, jnp.uint32)
+            for d in range(len(shape)):
+                idx = idx * jnp.uint32(8191) + jax.lax.broadcasted_iota(
+                    jnp.uint32, shape, d
+                )
+            h = (idx + base) * jnp.uint32(2654435761)
+            return (h % jnp.uint32(1000)).astype(jnp.float32) >= rate * 1000.0
+
+        import unittest.mock as mock
+
+        with mock.patch.object(pa, "_keep_mask", fake_keep):
+            def fwd(vv):
+                o, _ = pa.pair_bias_attention_pallas(
+                    q, k, vv, bias, num_heads=H, dropout_rate=rate,
+                    dropout_rng=rng, deterministic=False,
+                )
+                return o
+
+            o = fwd(v)
+            g = jnp.asarray(np.random.RandomState(2).randn(*o.shape), jnp.float32)
+            _, vjp_fn = jax.vjp(fwd, v)
+            (dv,) = vjp_fn(g)
+            np.testing.assert_allclose(
+                float(jnp.vdot(o, g)), float(jnp.vdot(v, dv)), rtol=1e-4
+            )
+
+
 class TestSupportedShapes:
     def test_policy(self):
-        from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
+        from mmdti_tpu.ops.pallas_attention import (
+            _chunk_policy,
+            pallas_attention_supported,
+        )
 
-        assert pallas_attention_supported(64, 8, 64)      # flagship
-        assert pallas_attention_supported(64, 8, 96)      # bucket
-        assert not pallas_attention_supported(64, 8, 256)  # long-seq: VMEM cap
+        assert pallas_attention_supported(64, 8, 64)       # flagship
+        assert pallas_attention_supported(64, 8, 96)       # bucket
+        # long sequences run with flash-style q-row blocking
+        assert pallas_attention_supported(64, 8, 160)
+        assert pallas_attention_supported(64, 8, 256)
         assert not pallas_attention_supported(64, 8, 63)   # ragged rows
+        assert _chunk_policy(64, 64, 64, 8) == (32, 64)    # full rows
+        hc, qb = _chunk_policy(64, 256, 256, 8)
+        assert qb < 256 and 256 % qb == 0 and qb % 8 == 0
+        assert hc * qb * 256 <= 240_000
 
     def test_layer_falls_back_to_xla_on_long_sequences(self):
         """use_pallas=True at unsupported N must silently take the XLA path
