@@ -122,12 +122,16 @@ class NNModel:
         else:
             train_pallas = infer_pallas = bool(use_pallas)
 
-        # Auto-remat the encoder for long atom sequences: at N=258 the
-        # 15 threaded [B,H,N,N] logit tensors exceed HBM for batch 32 without
-        # rematerialization (measured: OOM non-remat vs 6.6k mols/s remat),
-        # and remat is no slower even when both fit.
+        # Auto-remat the encoder for long atom sequences.  On the XLA path
+        # the fp32 activations OOM at N=258/batch 32 without remat (measured
+        # round 1).  The Pallas path stores the chain bf16 and keeps the
+        # softmax pipeline in VMEM: measured at N=256/batch 32 it fits AND
+        # runs 16% faster WITHOUT remat (148 vs 177ms/step), so its
+        # threshold sits above the reference max_atoms regime.  Larger
+        # batches at long pads can still opt in via unimol_overrides.
         unimol_overrides = dict(params["unimol_overrides"]) if params.get("unimol_overrides") else {}
-        if "remat" not in unimol_overrides and self.atom_pad >= 160:
+        remat_threshold = 320 if train_pallas else 160
+        if "remat" not in unimol_overrides and self.atom_pad >= remat_threshold:
             unimol_overrides["remat"] = True
             logger.info("Auto-enabled encoder rematerialization (atom_pad=%d)", self.atom_pad)
         # bf16 pair-logit storage halves the threaded-chain HBM traffic inside
