@@ -65,12 +65,15 @@ def _keep_mask(seed_ref, shape, rate):
     return bits >= cutoff
 
 
-def _softmax_from_logits(logits):
+def _softmax_parts(logits):
+    """(p_un, inv_s): unnormalized softmax probs and the row normalizer,
+    with the fully-masked-row guard.  Shared by the fwd and bwd cores so the
+    guard/floor semantics can never diverge."""
     m = jnp.max(logits, axis=-1, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # guard fully-masked rows
     p = jnp.exp(logits - m)
-    s = jnp.sum(p, axis=-1, keepdims=True)
-    return p / jnp.maximum(s, 1e-30)
+    inv_s = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    return p, inv_s
 
 
 def _softmax_factored(seed_ref, logits, dropout_rate):
@@ -78,10 +81,7 @@ def _softmax_factored(seed_ref, logits, dropout_rate):
     1/s (with the dropout keep-scale folded in).  The caller multiplies the
     PV matmul output by inv_s — one fewer full-pair VPU pass than dividing p.
     """
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)  # guard fully-masked rows
-    p = jnp.exp(logits - m)
-    inv_s = 1.0 / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    p, inv_s = _softmax_parts(logits)
     if dropout_rate > 0.0:
         keep = _keep_mask(seed_ref, p.shape, dropout_rate)
         p = jnp.where(keep, p, 0.0)
@@ -101,10 +101,7 @@ def _attention_bwd_core(seed_ref, logits, dp_raw, dropout_rate):
     materializes probs or the dropout Jacobian as separate full-pair
     tensors; the fwd PRNG stream is replayed bit-identically via the shared
     (seed, program) seeding."""
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)  # guard fully-masked rows
-    p_un = jnp.exp(logits - m)
-    inv_s = 1.0 / jnp.maximum(jnp.sum(p_un, axis=-1, keepdims=True), 1e-30)
+    p_un, inv_s = _softmax_parts(logits)
     if dropout_rate > 0.0:
         keep = _keep_mask(seed_ref, p_un.shape, dropout_rate)
         inv = 1.0 / (1.0 - dropout_rate)
@@ -120,15 +117,25 @@ def _attention_bwd_core(seed_ref, logits, dp_raw, dropout_rate):
     return dl, pd_un, g_scale
 
 
-def _marshal_heads(block, buf, hc, D):
+def _marshal_heads(block, buf, hc, D, once: bool = False):
     """[N, hc*D] lane groups -> buf [hc, N, D]; returns the gathered vector.
 
     Mosaic has no lane<->sublane reshape, so heads are marshalled through a
     small VMEM scratch with per-head lane-slice writes; the matmuls then run
     as ONE hc-batched dot_general (a per-head matmul loop measured 12ms/step
-    slower — the tiny [N,D] dots serialize)."""
-    for h in range(hc):
-        buf[h] = block[:, h * D:(h + 1) * D].astype(jnp.float32)
+    slower — the tiny [N,D] dots serialize).
+
+    once=True: the source block is identical across the q-row-block grid dim
+    (k/v under flash blocking) and the scratch persists, so only the first
+    row block of a (batch, head-chunk) pair copies."""
+    if once:
+        @pl.when(pl.program_id(2) == 0)
+        def _copy():
+            for h in range(hc):
+                buf[h] = block[:, h * D:(h + 1) * D].astype(jnp.float32)
+    else:
+        for h in range(hc):
+            buf[h] = block[:, h * D:(h + 1) * D].astype(jnp.float32)
     return buf[:]
 
 
@@ -159,8 +166,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, logits_ref,
     D = head_dim
     scale = D ** -0.5
     q = _marshal_heads(q_ref[0], qb, hc, D)
-    k = _marshal_heads(k_ref[0], kb, hc, D)
-    v = _marshal_heads(v_ref[0], vb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D, once=True)
+    v = _marshal_heads(v_ref[0], vb, hc, D, once=True)
 
     logits = jax.lax.dot_general(
         q * scale, k,
@@ -187,8 +194,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
     logits = logits_ref[0].astype(jnp.float32)
 
     q = _marshal_heads(q_ref[0], qb, hc, D)
-    k = _marshal_heads(k_ref[0], kb, hc, D)
-    v = _marshal_heads(v_ref[0], vb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D, once=True)
+    v = _marshal_heads(v_ref[0], vb, hc, D, once=True)
     g_out = _marshal_heads(gout_ref[0], gb, hc, D)
 
     # dP_raw = g_out @ v^T      [hc, N, N]
@@ -230,6 +237,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
 # logits/p/dp/dl values + double-buffered bf16 in/out blocks; hc=64,N=64
 # measured 17.4MB > the 16MB VMEM).
 _VMEM_ELEM_CAP = 240_000
+# separate budget for the VMEM-resident k/v marshal scratches (elements of
+# hc * n_cols * D; 2 fp32 scratches + double-buffered input blocks each)
+_KV_ELEM_CAP = 131_072
 
 
 def _lane_legal_chunks(H: int, D: int):
@@ -255,6 +265,10 @@ def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int):
     (batch, head-chunk) pair, so only q/out/pair blocks stream.
     """
     legal = _lane_legal_chunks(H, D)
+    # the resident fp32 k/v scratches (2 x hc*n_cols*D) must also fit: cap
+    # them separately so huge-Nk cross shapes fall back instead of blowing
+    # the Mosaic VMEM allocation at compile time
+    legal = [hc for hc in legal if hc * n_cols * D <= _KV_ELEM_CAP]
     best = None
     for hc in legal:
         if hc * n_rows * n_cols <= _VMEM_ELEM_CAP:
@@ -423,8 +437,8 @@ def _masked_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
     D = head_dim
     scale = D ** -0.5
     q = _marshal_heads(q_ref[0], qb, hc, D)
-    k = _marshal_heads(k_ref[0], kb, hc, D)
-    v = _marshal_heads(v_ref[0], vb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D, once=True)
+    v = _marshal_heads(v_ref[0], vb, hc, D, once=True)
 
     logits = jax.lax.dot_general(
         q * scale, k,
@@ -452,8 +466,8 @@ def _masked_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, gout_ref,
     D = head_dim
     scale = D ** -0.5
     q = _marshal_heads(q_ref[0], qb, hc, D)
-    k = _marshal_heads(k_ref[0], kb, hc, D)
-    v = _marshal_heads(v_ref[0], vb, hc, D)
+    k = _marshal_heads(k_ref[0], kb, hc, D, once=True)
+    v = _marshal_heads(v_ref[0], vb, hc, D, once=True)
     g_out = _marshal_heads(gout_ref[0], gb, hc, D)
 
     # recompute the forward (cheap MXU work instead of an HBM round-trip)

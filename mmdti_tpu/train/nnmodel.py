@@ -130,7 +130,19 @@ class NNModel:
         # threshold sits above the reference max_atoms regime.  Larger
         # batches at long pads can still opt in via unimol_overrides.
         unimol_overrides = dict(params["unimol_overrides"]) if params.get("unimol_overrides") else {}
-        remat_threshold = 320 if train_pallas else 160
+        # gate on whether the kernels actually ENGAGE at this pad (not just
+        # the flag): a non-%8 pad silently takes the XLA path, which still
+        # needs its OOM protection
+        from mmdti_tpu.configs.architectures import UniMolEncoderConfig
+        from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
+
+        _probe_cfg = UniMolEncoderConfig(
+            **{k: v for k, v in unimol_overrides.items() if k != "remat"}
+        )
+        pallas_engaged = train_pallas and pallas_attention_supported(
+            _probe_cfg.attention_heads, _probe_cfg.head_dim, self.atom_pad
+        )
+        remat_threshold = 320 if pallas_engaged else 160
         if "remat" not in unimol_overrides and self.atom_pad >= remat_threshold:
             unimol_overrides["remat"] = True
             logger.info("Auto-enabled encoder rematerialization (atom_pad=%d)", self.atom_pad)

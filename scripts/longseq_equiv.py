@@ -1,6 +1,7 @@
 """Real-TPU numerics check: N=160 pallas (q-row-blocked) vs XLA path."""
 import sys
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import functools
 import jax, jax.numpy as jnp, numpy as np
 from __graft_entry__ import _example_batch
 from mmdti_tpu.models import build_model
@@ -20,14 +21,14 @@ mx, mp = mk(False), mk(True)
 key = jax.random.PRNGKey(0)
 params = mx.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
 
-def loss(model, p):
+def loss(model, p, feats, labels):
     out = model.apply({"params": p}, **feats, deterministic=True)
     return jnp.mean((out["logits"] - labels) ** 2) + 0.01 * out["infonce_loss"]
 
-f_x = jax.jit(jax.value_and_grad(lambda p: loss(mx, p)))
-f_p = jax.jit(jax.value_and_grad(lambda p: loss(mp, p)))
-lx, gx = f_x(params)
-lp, gp = f_p(params)
+f_x = jax.jit(jax.value_and_grad(functools.partial(loss, mx)))
+f_p = jax.jit(jax.value_and_grad(functools.partial(loss, mp)))
+lx, gx = f_x(params, feats, labels)
+lp, gp = f_p(params, feats, labels)
 print("loss xla", float(lx), "pallas", float(lp))
 assert np.isfinite(float(lx)) and np.isfinite(float(lp))
 np.testing.assert_allclose(float(lp), float(lx), rtol=2e-3)
