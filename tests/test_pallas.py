@@ -383,6 +383,16 @@ class TestSupportedShapes:
         hc, qb = _chunk_policy(64, 256, 256, 8)
         assert qb < 256 and 256 % qb == 0 and qb % 8 == 0
         assert hc * qb * 256 <= 240_000
+        # huge-Nk cross shapes: the policy must keep the resident k/v scratch
+        # under its own cap (choosing a smaller head chunk, or falling back)
+        # rather than failing Mosaic VMEM allocation at compile time
+        from mmdti_tpu.ops.pallas_attention import _KV_ELEM_CAP
+
+        pol = _chunk_policy(12, 64, 512, 64)        # Nq=64, Nk=512, D=64
+        assert pol is not None and pol[0] * 512 * 64 <= _KV_ELEM_CAP
+        # ChemBERTa-like long-SMILES self-attention stays supported
+        pol = _chunk_policy(8, 512, 512, 64)
+        assert pol is not None and pol[0] * 512 * 64 <= _KV_ELEM_CAP
 
     def test_layer_falls_back_to_xla_on_long_sequences(self):
         """use_pallas=True at unsupported N must silently take the XLA path
