@@ -66,6 +66,7 @@ class MolTrain:
         fds_col_data: str = "",
         ct_lamda: float = 1.0,
         ct_w: float = 0.2,
+        threshold_search: bool = False,
         **params,
     ):
         config = default_config()
@@ -113,6 +114,7 @@ class MolTrain:
         )
         config.ct_w = ct_w
         config.ct_lamda = ct_lamda
+        config.threshold_search = threshold_search
         config.update_from(params)
         self.save_path = save_path
         self.config = config
@@ -140,7 +142,15 @@ class MolTrain:
             y_pred = scaler.inverse_transform(y_pred)
             y_true = scaler.inverse_transform(y_true)
         if self.config["task"] in ["classification", "multilabel_classification"]:
+            # The reference hardcodes 0.5 (its grid search is commented out,
+            # /root/reference/train.py:187); threshold_search=True enables the
+            # per-column validation-set grid search as a strict superset.
             threshold = 0.5
+            if self.config.get("threshold_search"):
+                val_true = np.asarray(self.data_test["target"], dtype=float)
+                val_pred = np.asarray(self.model.cv["pred"], dtype=float)
+                threshold = self.trainer.metrics.search_threshold(val_true, val_pred)
+                logger.info("Searched classification thresholds: %s", threshold)
             joblib.dump(threshold, os.path.join(self.save_path, "threshold.dat"))
         self.cv_pred = y_pred
         return self

@@ -187,7 +187,7 @@ def rdkit_smi2coords(smi, seed=42, mode="fast", remove_hs=False):
     mol = Chem.MolFromSmiles(smi)
     mol = AllChem.AddHs(mol)
     atoms = [atom.GetSymbol() for atom in mol.GetAtoms()]
-    assert len(atoms) > 0, f"No atoms in molecule: {smi}"
+    assert len(atoms) > 0, f"SMILES parsed to an empty molecule: {smi}"
     try:
         res = AllChem.EmbedMolecule(mol, randomSeed=seed)
         if res == 0:
@@ -208,9 +208,9 @@ def rdkit_smi2coords(smi, seed=42, mode="fast", remove_hs=False):
             AllChem.Compute2DCoords(mol)
             coordinates = mol.GetConformer().GetPositions().astype(np.float32)
     except Exception:
-        logger.info("Failed to generate conformer, replace with zeros.")
+        logger.info("RDKit conformer generation failed; substituting zero coordinates.")
         coordinates = np.zeros((len(atoms), 3), dtype=np.float32)
-    assert len(atoms) == len(coordinates), f"coordinates shape is not align with {smi}"
+    assert len(atoms) == len(coordinates), f"atom/coordinate count mismatch for {smi}"
     if remove_hs:
         idx = [i for i, a in enumerate(atoms) if a != "H"]
         return [atoms[i] for i in idx], coordinates[idx]

@@ -108,6 +108,18 @@ def convert_unimol_checkpoint(state_dict: Dict[str, Any], params: Dict[str, Any]
     )
     for m in stats["shape"][:5]:
         logger.info("  shape mismatch: %s", m)
+    # strict=False parity tolerates partial overlap (the reference skips the
+    # pretraining heads the same way), but a ZERO-tensor load means the name
+    # map has drifted and the model would silently train from scratch — that
+    # must be loud.
+    if sd and stats["loaded"] == 0:
+        sample = sorted(sd)[:5]
+        raise ValueError(
+            "Uni-Mol checkpoint ingestion loaded 0 tensors out of "
+            f"{len(sd)} checkpoint entries — the name map does not match this "
+            f"checkpoint (sample keys: {sample}). Refusing to silently train "
+            "from scratch."
+        )
     return params
 
 

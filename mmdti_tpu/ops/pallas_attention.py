@@ -232,13 +232,32 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
     _accum_heads(dk, dk_ref, hc, D)
 
 
-# VMEM envelope for the kernels, in pair elements per program: the bwd
-# working set is ~66 bytes per (head, q-row, key) element (fp32
-# logits/p/dp/dl values + double-buffered bf16 in/out blocks; hc=64,N=64
-# measured 17.4MB > the 16MB VMEM).
+# VMEM envelope for the kernels, in pair elements (hc * q_block * n_cols)
+# per program.  The cap is sized for the HEAVIEST variant; per-kernel byte
+# budgets the number was derived from (v5e: 16MB VMEM/core):
+#   - pair-bias fwd: fp32 logits + p (8B/elem) + double-buffered bf16
+#     bias/out pair blocks (4B/elem)                           ~12 B/elem
+#   - pair-bias bwd (heaviest): fp32 logits/p/dp/dl temporaries
+#     (16B/elem) + double-buffered bf16 STREAMED pair blocks — saved
+#     logits, g_logits, and dbias in/out (12B/elem) + re-derived dropout
+#     mask registers                                           ~66 B/elem
+#     (hc=64, N=64 full-row: 240k elems * 66B = 15.8MB; hc=64 measured
+#     17.4MB with the old 12B/elem estimate -> cap set from the bwd fit)
+#   - masked fwd/bwd: no pair blocks stream (mask is [1,n_cols] per row),
+#     but the bwd keeps fp32 dk/dv OUTPUT blocks resident across q-row
+#     blocks — those are k/v-shaped and therefore counted under
+#     _KV_ELEM_CAP below, NOT under this pair cap.
+# If a new variant adds a streamed pair block or a resident scratch,
+# re-derive its B/elem envelope before reusing these caps.
 _VMEM_ELEM_CAP = 240_000
-# separate budget for the VMEM-resident k/v marshal scratches (elements of
-# hc * n_cols * D; 2 fp32 scratches + double-buffered input blocks each)
+# Budget for VMEM-RESIDENT k/v-shaped scratches (elements of hc*n_cols*D).
+# Counts per variant:
+#   - pair-bias bwd: k + v fp32 marshal scratches + dk + dv fp32
+#     accumulators = 4 resident fp32 arrays (16B/elem) + double-buffered
+#     bf16 input blocks; 131,072 elems * ~20B = 2.6MB, leaving the pair
+#     cap's 13MB+ intact.
+#   - masked bwd: same 4 resident arrays (dk/dv output accumulators) —
+#     the comment above _VMEM_ELEM_CAP intentionally excludes them here.
 _KV_ELEM_CAP = 131_072
 
 

@@ -142,7 +142,16 @@ class NNModel:
         pallas_engaged = train_pallas and pallas_attention_supported(
             _probe_cfg.attention_heads, _probe_cfg.head_dim, self.atom_pad
         )
-        remat_threshold = 320 if pallas_engaged else 160
+        # The 320 threshold was validated at batch 32 (fits + 16% faster, see
+        # docs/PERF.md).  Activation residency scales ~linearly with batch, so
+        # for larger batches shrink the no-remat window proportionally (floor
+        # at the XLA threshold 160): B=64 engages remat from N=160, B=128 from
+        # N=160 as well — large-batch long-pad runs keep OOM protection.
+        _bs = int(getattr(self.trainer, "batch_size", 32))
+        if pallas_engaged:
+            remat_threshold = max(160, (320 * 32) // max(_bs, 32))
+        else:
+            remat_threshold = 160
         if "remat" not in unimol_overrides and self.atom_pad >= remat_threshold:
             unimol_overrides["remat"] = True
             logger.info("Auto-enabled encoder rematerialization (atom_pad=%d)", self.atom_pad)

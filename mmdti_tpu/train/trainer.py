@@ -100,7 +100,14 @@ def load_checkpoint(dump_dir: str, fold: int) -> Dict[str, Any]:
         import orbax.checkpoint as ocp
 
         return ocp.PyTreeCheckpointer().restore(os.path.abspath(orbax_path))
-    with open(checkpoint_path(dump_dir, fold), "rb") as f:
+    msgpack_path = checkpoint_path(dump_dir, fold)
+    if not os.path.exists(msgpack_path):
+        raise FileNotFoundError(
+            f"no checkpoint for fold {fold} in {dump_dir!r}: looked for "
+            f"{os.path.basename(msgpack_path)} (msgpack) and "
+            f"{os.path.basename(orbax_path)}/ (orbax directory)"
+        )
+    with open(msgpack_path, "rb") as f:
         return flax.serialization.msgpack_restore(f.read())
 
 

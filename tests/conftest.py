@@ -13,7 +13,19 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ["MMDTI_DISABLE_FILE_LOG"] = "1"
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Build the C++ host kernels so TestNativeParity exercises them instead of
+# skipping (make is incremental: a fresh .so is a no-op rebuild).
+import shutil  # noqa: E402
+import subprocess  # noqa: E402
+
+if shutil.which("make") and (shutil.which("g++") or shutil.which("cc")):
+    subprocess.run(
+        ["make", "-C", os.path.join(_REPO, "csrc")],
+        check=False, capture_output=True, timeout=120,
+    )
 
 # The axon sitecustomize hook registers the TPU tunnel plugin at interpreter
 # startup and pins jax_platforms via jax.config (which outranks the env var) —

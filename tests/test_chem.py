@@ -141,7 +141,13 @@ class TestNativeParity:
         from mmdti_tpu.chem.conformer import _build_terms, _refine
 
         if not native.available():
-            pytest.skip("libmmchem.so not built")
+            import shutil
+            if shutil.which("g++") or shutil.which("cc"):
+                pytest.fail(
+                    "libmmchem.so unavailable although a C++ compiler exists — "
+                    "conftest's `make -C csrc` build failed; run it manually"
+                )
+            pytest.skip("libmmchem.so not built and no compiler available")
         mol = parse_smiles("CC(=O)Oc1ccccc1C(=O)O").add_hydrogens()
         rng = np.random.RandomState(0)
         c0 = (rng.randn(mol.num_atoms(), 3) * 3).astype(np.float32)

@@ -21,6 +21,30 @@ def _csvs(tmp_path, columns):
     return train, val
 
 
+class TestThresholdSearch:
+    def test_grid_search_beats_half(self):
+        """Skewed probabilities: the optimal f1 cut sits well below 0.5 —
+        the grid search must find it (reference keeps this commented out and
+        hardcodes 0.5, /root/reference/train.py:187)."""
+        from sklearn.metrics import f1_score
+
+        from mmdti_tpu.utils.metrics import Metrics
+
+        rng = np.random.RandomState(0)
+        y = rng.randint(0, 2, size=(200, 2))
+        # positives score in [0.15, 0.45], negatives in [0.0, 0.2]: separable,
+        # but everything is below 0.5 so the fixed threshold predicts all-zero
+        p = np.where(y == 1, 0.15 + 0.3 * rng.rand(200, 2), 0.2 * rng.rand(200, 2))
+        m = Metrics("multilabel_classification", "auc")
+        ths = m.search_threshold(y, p)
+        assert ths.shape == (2,)
+        for col in range(2):
+            searched = f1_score(y[:, col], (p[:, col] > ths[col]).astype(int))
+            fixed = f1_score(y[:, col], (p[:, col] > 0.5).astype(int))
+            assert searched > fixed
+            assert searched > 0.8
+
+
 class TestMulticlass:
     def test_fit_predict(self, tmp_path):
         from mmdti_tpu import MolPredict, MolTrain
@@ -56,9 +80,13 @@ class TestMultilabelGHM:
             task="multilabel_classification", epochs=2, batch_size=8, metrics="auc",
             smiles_col="smiles", save_path=exp, target_cols=["t1", "t2"],
             loss_key="ghm", seed=0, compute_dtype="float32", use_pallas=False,
-            **SMALL_ARCH,
+            threshold_search=True, **SMALL_ARCH,
         ).fit(train, val)
         assert os.path.exists(os.path.join(exp, "threshold.dat"))
+        import joblib
+
+        th = joblib.load(os.path.join(exp, "threshold.dat"))
+        assert np.asarray(th).shape == (2,)  # searched per-column thresholds
         y = MolPredict(load_model=exp).predict(val)
         assert y.shape == (4, 2)
         assert ((y >= 0) & (y <= 1)).all()  # sigmoid probs
