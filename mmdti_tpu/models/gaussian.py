@@ -137,5 +137,6 @@ class NumericalEmbed(nn.Module):
         edge_emb = w * nn.sigmoid(m * x + b)
 
         proj = NonLinearHead(K, self.activation_fn, hidden=2 * K, name="proj")(x)
-        proj = nn.LayerNorm(name="ln")(proj)
+        # torch nn.LayerNorm default eps (flax defaults to 1e-6)
+        proj = nn.LayerNorm(epsilon=1e-5, name="ln")(proj)
         return proj + edge_emb

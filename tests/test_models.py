@@ -369,3 +369,188 @@ class TestTorchOracleEncoderParity:
         np.testing.assert_allclose(
             np.asarray(out_factor), np.asarray(out_gather), atol=1e-5
         )
+
+
+def _np32(x):
+    return np.asarray(x, np.float32)
+
+
+def _tt(a):
+    import torch
+
+    return torch.from_numpy(_np32(a))
+
+
+def _torch_linear(x, p):
+    return x @ _tt(p["kernel"]) + _tt(p["bias"])
+
+
+def _torch_cross_layer(s1, s2, mask_bias, lp, H, eps=1e-12):
+    """One BertCrossAttentionLayer in torch, per the reference semantics
+    (/root/reference/models/mm_module.py:470-677): Q from s1, K/V from s2,
+    additive -10000 mask, post-LN residual blocks, erf gelu."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    B, N1, E = s1.shape
+    D = E // H
+
+    def heads(x):
+        return x.view(B, -1, H, D).permute(0, 2, 1, 3)
+
+    q = heads(_torch_linear(s1, lp["query"]))
+    k = heads(_torch_linear(s2, lp["key"]))
+    v = heads(_torch_linear(s2, lp["value"]))
+    scores = q @ k.transpose(-1, -2) / math.sqrt(D) + mask_bias
+    probs = torch.softmax(scores, dim=-1)
+    ctx = (probs @ v).permute(0, 2, 1, 3).reshape(B, N1, E)
+    ctx = _torch_linear(ctx, lp["attn_output"])
+    attn_out = F.layer_norm(
+        ctx + s1, (E,), _tt(lp["attn_LayerNorm"]["scale"]),
+        _tt(lp["attn_LayerNorm"]["bias"]), eps=eps,
+    )
+    inter = F.gelu(_torch_linear(attn_out, lp["intermediate"]))
+    out = _torch_linear(inter, lp["output"])
+    return F.layer_norm(
+        out + attn_out, (E,), _tt(lp["output_LayerNorm"]["scale"]),
+        _tt(lp["output_LayerNorm"]["bias"]), eps=eps,
+    )
+
+
+def torch_cross_modal(a, b, a_mask, b_mask, params, H, num_layers, eps=1e-12):
+    """CrossAttentionModel in torch per the reference wiring
+    (/root/reference/models/mm_model.py:379-406): both directions, -10000
+    masks, dropout off (deterministic).  Returns (a_to_b, b_to_a)."""
+
+    def mask_bias(mask):
+        return (1.0 - _tt(mask)[:, None, None, :]) * -10000.0
+
+    x = b
+    for i in range(num_layers):
+        x = _torch_cross_layer(
+            x, a, mask_bias(a_mask), params["graph_attention"][f"layer_{i}"], H, eps
+        )
+    b_to_a = x
+    x = a
+    for i in range(num_layers):
+        x = _torch_cross_layer(
+            x, b, mask_bias(b_mask), params["text_attention"][f"layer_{i}"], H, eps
+        )
+    return x, b_to_a
+
+
+class TestTorchOracleCrossModal:
+    """Value-level parity of the bidirectional BertCrossEncoder fusion stack
+    against a hand-ported torch oracle (VERDICT r2 missing #2) — previously
+    only mask-invariance was tested."""
+
+    def test_two_layer_stack_matches_torch(self):
+        import torch
+
+        cfg = CrossModalConfig(
+            hidden_size=32, num_attention_heads=4, intermediate_size=64,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            num_layers=2,
+        )
+        cm = CrossAttentionModel(cfg)
+        rng = np.random.RandomState(11)
+        a = rng.randn(2, 5, 32).astype(np.float32)   # 3D-graph stream
+        b = rng.randn(2, 7, 32).astype(np.float32)   # SMILES stream
+        a_mask = np.array([[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]], np.float32)
+        b_mask = np.array([[1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1, 1]], np.float32)
+        vars_ = cm.init(jax.random.PRNGKey(0), *map(jnp.asarray, (a, b, a_mask, b_mask)))
+        got_ab, got_ba = cm.apply(vars_, *map(jnp.asarray, (a, b, a_mask, b_mask)))
+        p = jax.tree.map(np.asarray, vars_["params"])
+        with torch.no_grad():
+            want_ab, want_ba = torch_cross_modal(
+                _tt(a), _tt(b), a_mask, b_mask, p, H=4, num_layers=2,
+                eps=cfg.layer_norm_eps,
+            )
+        np.testing.assert_allclose(np.asarray(got_ab), want_ab.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_ba), want_ba.numpy(), atol=2e-5)
+
+    def test_callsite_pooling_matches_torch(self):
+        """The reference call-site tail (/root/reference/models/mm_model.py:571-576):
+        zero masked rows of both streams, concat on the token axis, sum over
+        tokens divided by the TOTAL valid count of both streams."""
+        import torch
+
+        cfg = CrossModalConfig(
+            hidden_size=16, num_attention_heads=2, intermediate_size=32,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        cm = CrossAttentionModel(cfg)
+        rng = np.random.RandomState(5)
+        a = rng.randn(2, 4, 16).astype(np.float32)
+        b = rng.randn(2, 6, 16).astype(np.float32)
+        a_mask = np.array([[1, 1, 1, 0], [1, 1, 1, 1]], np.float32)
+        b_mask = np.array([[1, 1, 1, 1, 1, 0], [1, 1, 0, 0, 0, 0]], np.float32)
+        vars_ = cm.init(jax.random.PRNGKey(0), *map(jnp.asarray, (a, b, a_mask, b_mask)))
+        got_ab, got_ba = cm.apply(vars_, *map(jnp.asarray, (a, b, a_mask, b_mask)))
+        # framework pooling (mirrors models/mm_model.py:152-158)
+        ab = np.asarray(got_ab) * a_mask[..., None]
+        ba = np.asarray(got_ba) * b_mask[..., None]
+        fused = np.concatenate([ab, ba], axis=1)
+        got_pooled = fused.sum(axis=1) / (
+            a_mask.sum(1, keepdims=True) + b_mask.sum(1, keepdims=True)
+        )
+        p = jax.tree.map(np.asarray, vars_["params"])
+        with torch.no_grad():
+            t_ab, t_ba = torch_cross_modal(
+                _tt(a), _tt(b), a_mask, b_mask, p, H=2, num_layers=1,
+                eps=cfg.layer_norm_eps,
+            )
+            t_ab[~_tt(a_mask).bool()] = 0.0
+            t_ba[~_tt(b_mask).bool()] = 0.0
+            final = torch.cat((t_ab, t_ba), dim=1)
+            want_pooled = final.sum(dim=1) / (
+                _tt(a_mask).sum(dim=1).view(-1, 1) + _tt(b_mask).sum(dim=1).view(-1, 1)
+            )
+        np.testing.assert_allclose(got_pooled, want_pooled.numpy(), atol=2e-5)
+
+
+class TestTorchOracleNumericalEmbed:
+    """Value-level parity of the NumericalEmbed pair kernel against a torch
+    port of /root/reference/models/mm_model.py:271-323 (VERDICT r2 missing
+    #4): sigmoid-gated edge-type embedding + NonLinearHead(1 -> 2K -> K)
+    projection of the raw distance, LayerNorm(eps=1e-5), summed."""
+
+    def test_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from mmdti_tpu.models.gaussian import NumericalEmbed
+
+        K, V, B, N = 16, 5, 2, 4
+        layer = NumericalEmbed(kernels=K, edge_types=V * V, activation_fn="gelu")
+        rng = np.random.RandomState(2)
+        dist = (rng.rand(B, N, N) * 4).astype(np.float32)
+        et = rng.randint(0, V * V, (B, N, N))
+        vars_ = layer.init(jax.random.PRNGKey(0), jnp.asarray(dist), jnp.asarray(et))
+        # perturb so the ones/zeros inits don't mask transpose bugs
+        vars_ = jax.tree.map(
+            lambda x: np.asarray(x)
+            + 0.3 * np.random.RandomState(4).randn(*x.shape).astype(np.float32),
+            jax.tree.map(np.asarray, vars_),
+        )
+        got = np.asarray(layer.apply(vars_, jnp.asarray(dist), jnp.asarray(et)))
+        p = vars_["params"]
+
+        with torch.no_grad():
+            x = _tt(dist)
+            m = _tt(p["mul"])[torch.from_numpy(et)]
+            bb = _tt(p["bias"])[torch.from_numpy(et)]
+            w = _tt(p["w_edge"])[torch.from_numpy(et)]
+            edge_emb = w * torch.sigmoid(m * x.unsqueeze(-1) + bb)
+            proj = x.unsqueeze(-1)
+            proj = _torch_linear(proj, p["proj"]["linear1"])
+            proj = F.gelu(proj)
+            proj = _torch_linear(proj, p["proj"]["linear2"])
+            proj = F.layer_norm(
+                proj, (K,), _tt(p["ln"]["scale"]), _tt(p["ln"]["bias"]), eps=1e-5
+            )
+            want = proj + edge_emb
+        np.testing.assert_allclose(got, want.numpy(), atol=2e-5)
+        assert got.shape == (B, N, N, K)

@@ -90,3 +90,26 @@ class TestMultilabelGHM:
         y = MolPredict(load_model=exp).predict(val)
         assert y.shape == (4, 2)
         assert ((y >= 0) & (y <= 1)).all()  # sigmoid probs
+
+
+class TestNumericalKernelE2E:
+    def test_fit_predict_numerical_kernel(self, tmp_path):
+        """The NumericalEmbed pair kernel is selectable end-to-end through the
+        public API (unimol_overrides kernel='numerical'), not just unit-tested
+        (reference: models/mm_model.py:271-323 + backbone kernel switch)."""
+        from mmdti_tpu import MolPredict, MolTrain
+
+        train, val = _csvs(tmp_path, {"y": lambda r: r.randn(len(SMILES_20))})
+        exp = str(tmp_path / "exp")
+        arch = {
+            "unimol_overrides": dict(SMALL_ARCH["unimol_overrides"], kernel="numerical"),
+            "chemberta_overrides": SMALL_ARCH["chemberta_overrides"],
+        }
+        MolTrain(
+            task="regression", epochs=1, batch_size=8, metrics="mse",
+            smiles_col="smiles", save_path=exp, target_cols=["y"],
+            seed=0, compute_dtype="float32", use_pallas=False, **arch,
+        ).fit(train, val)
+        y = MolPredict(load_model=exp).predict(val)
+        assert y.shape == (4, 1)
+        assert np.isfinite(y).all()
