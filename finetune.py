@@ -62,6 +62,15 @@ def main():
     ap.add_argument("--workdir", default="./finetune_runs")
     ap.add_argument("--synthetic", action="store_true", help="generate a synthetic dataset")
     ap.add_argument("--small", action="store_true", help="small architecture (debug)")
+    ap.add_argument(
+        "--use-pallas", default="auto", choices=["auto", "true", "false"],
+        help="attention path: auto (Pallas on TPU), or force on/off "
+             "(false = the XLA oracle path with fp32 pair logits)",
+    )
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="first split seed (protocol seeds are offset..offset+seeds-1)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -80,8 +89,12 @@ def main():
                                  "num_attention_heads": 4, "intermediate_size": 128},
         )
 
+    path_overrides = {"compute_dtype": args.compute_dtype}
+    if args.use_pallas != "auto":
+        path_overrides["use_pallas"] = args.use_pallas == "true"
+
     test_rmse = []
-    for idx in range(args.seeds):
+    for idx in range(args.seed_offset, args.seed_offset + args.seeds):
         train_df, valid_df, test_df = random_scaffold_split(
             data_path, random_seed=idx, ratio_test=0.1, ration_valid=0.1
         )
@@ -116,6 +129,7 @@ def main():
             fds_col_data=args.target_col,
             chemberta_dir=args.chemberta_dir,
             unimol_dir=args.unimol_dir,
+            **path_overrides,
             **arch,
         )
         clf.fit(paths["train"], paths["val"])
@@ -127,9 +141,8 @@ def main():
         test_rmse.append(rmse)
         print(f"seed {idx}: test RMSE = {rmse:.4f}")
 
-    pd.DataFrame({"seed": list(range(args.seeds)), "rmse": test_rmse}).to_csv(
-        args.out, index=False
-    )
+    seeds = list(range(args.seed_offset, args.seed_offset + args.seeds))
+    pd.DataFrame({"seed": seeds, "rmse": test_rmse}).to_csv(args.out, index=False)
     print(f"mean RMSE over {args.seeds} seeds: {np.mean(test_rmse):.4f} -> {args.out}")
 
 

@@ -188,6 +188,15 @@ class Trainer:
         )
         self._compiled: Dict[str, Callable] = {}
 
+    def _place_params(self, tree):
+        """Parameter placement for the mesh: TP_RULES partitioning over the
+        'model' axis when it is >1 (DPxTP), full replication otherwise."""
+        from mmdti_tpu.parallel.mesh import MODEL_AXIS, param_sharding
+
+        if self.mesh.shape[MODEL_AXIS] > 1:
+            return jax.device_put(tree, param_sharding(self.mesh, tree))
+        return replicate(self.mesh, tree)
+
     # ------------------------------------------------------------------
     def _split_batch(self, batch: Dict[str, np.ndarray]):
         feats = {k: batch[k] for k in _FEATURE_KEYS if k in batch}
@@ -366,7 +375,7 @@ class Trainer:
             self.learning_rate, num_training_steps, self.warmup_ratio, self.max_norm,
             frozen_mask=frozen_mask, mu_dtype=self.mu_dtype,
         )
-        params = replicate(self.mesh, params)
+        params = self._place_params(params)
         opt_state = tx.init(params)
         if fds_state is not None:
             fds_state = replicate(self.mesh, fds_state)
@@ -385,7 +394,7 @@ class Trainer:
             p_h, opt_state, fds_h, last_epoch, global_step = load_train_state(
                 dump_dir, fold, opt_state
             )
-            params = replicate(self.mesh, p_h)
+            params = self._place_params(p_h)
             if fds_h is not None:
                 fds_state = replicate(self.mesh, fds_h)
             start_epoch = last_epoch + 1
@@ -598,7 +607,7 @@ class Trainer:
     ):
         if load_model:
             ckpt = load_checkpoint(dump_dir, fold)
-            params = replicate(self.mesh, ckpt["params"])
+            params = self._place_params(ckpt["params"])
             logger.info("load model success!")
         if eval_step is None:
             eval_step = self.build_eval_step(model, loss_fn, activation_fn)
@@ -659,7 +668,7 @@ class Trainer:
             return out["cls_repr"], out["pooled"], out["encoder_rep"], out["atom_mask"]
 
         loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
-        params = replicate(self.mesh, params)
+        params = self._place_params(params)
         result = {
             "cls_repr": [], "pooled_repr": [], "atomic_reprs": [],
             "atomic_coords": [], "atomic_symbol": [],
