@@ -45,6 +45,58 @@ def make_synthetic_dataset(path: str, n: int = 400, seed: int = 0) -> None:
     pd.DataFrame(rows, columns=["smiles", "measured"]).to_csv(path, index=False)
 
 
+def run_seed(
+    data_path, idx, workdir, *, epochs=40, learning_rate=1e-4, batch_size=32,
+    early_stopping=20, fds_num=30, target_col="measured", smiles_col="smiles",
+    chemberta_dir="", unimol_dir="", arch=None, path_overrides=None,
+) -> float:
+    """One protocol seed: scaffold split -> MolTrain -> MolPredict -> RMSE
+    (reference /root/reference/finetune.py:26-79 body)."""
+    train_df, valid_df, test_df = random_scaffold_split(
+        data_path, random_seed=idx, ratio_test=0.1, ration_valid=0.1
+    )
+    paths = {}
+    for name, df in (("train", train_df), ("val", valid_df), ("test", test_df)):
+        p = os.path.join(workdir, f"{name}_{idx}.csv")
+        df.to_csv(p, index=False)
+        paths[name] = p
+
+    save_path = os.path.join(workdir, f"exp_seed_{idx}")
+    clf = MolTrain(
+        task="regression",
+        epochs=epochs,
+        learning_rate=learning_rate,
+        batch_size=batch_size,
+        early_stopping=early_stopping,
+        metrics="mse",
+        smiles_col=smiles_col,
+        save_path=save_path,
+        target_cols=[target_col],
+        model_name="mm_model",
+        using_infonce=True,
+        using_ct=True,
+        raw_data=paths["train"],
+        use_weight=True,
+        all_weight=False,
+        fds=True,
+        seed=42,
+        target_anomaly_check="filter",
+        fds_num=fds_num,
+        fds_raw_path=paths["train"],
+        fds_col_data=target_col,
+        chemberta_dir=chemberta_dir,
+        unimol_dir=unimol_dir,
+        **(path_overrides or {}),
+        **(arch or {}),
+    )
+    clf.fit(paths["train"], paths["val"])
+
+    predictor = MolPredict(load_model=save_path)
+    test_pred = predictor.predict(paths["test"])
+    truth = pd.read_csv(paths["test"])[target_col].values
+    return float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", default=None, help="CSV with smiles + target column")
@@ -95,49 +147,15 @@ def main():
 
     test_rmse = []
     for idx in range(args.seed_offset, args.seed_offset + args.seeds):
-        train_df, valid_df, test_df = random_scaffold_split(
-            data_path, random_seed=idx, ratio_test=0.1, ration_valid=0.1
+        rmse = run_seed(
+            data_path, idx, args.workdir,
+            epochs=args.epochs, learning_rate=args.learning_rate,
+            batch_size=args.batch_size, early_stopping=args.early_stopping,
+            fds_num=args.fds_num, target_col=args.target_col,
+            smiles_col=args.smiles_col, chemberta_dir=args.chemberta_dir,
+            unimol_dir=args.unimol_dir, arch=arch,
+            path_overrides=path_overrides,
         )
-        paths = {}
-        for name, df in (("train", train_df), ("val", valid_df), ("test", test_df)):
-            p = os.path.join(args.workdir, f"{name}_{idx}.csv")
-            df.to_csv(p, index=False)
-            paths[name] = p
-
-        save_path = os.path.join(args.workdir, f"exp_seed_{idx}")
-        clf = MolTrain(
-            task="regression",
-            epochs=args.epochs,
-            learning_rate=args.learning_rate,
-            batch_size=args.batch_size,
-            early_stopping=args.early_stopping,
-            metrics="mse",
-            smiles_col=args.smiles_col,
-            save_path=save_path,
-            target_cols=[args.target_col],
-            model_name="mm_model",
-            using_infonce=True,
-            using_ct=True,
-            raw_data=paths["train"],
-            use_weight=True,
-            all_weight=False,
-            fds=True,
-            seed=42,
-            target_anomaly_check="filter",
-            fds_num=args.fds_num,
-            fds_raw_path=paths["train"],
-            fds_col_data=args.target_col,
-            chemberta_dir=args.chemberta_dir,
-            unimol_dir=args.unimol_dir,
-            **path_overrides,
-            **arch,
-        )
-        clf.fit(paths["train"], paths["val"])
-
-        predictor = MolPredict(load_model=save_path)
-        test_pred = predictor.predict(paths["test"])
-        truth = pd.read_csv(paths["test"])[args.target_col].values
-        rmse = float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
         test_rmse.append(rmse)
         print(f"seed {idx}: test RMSE = {rmse:.4f}")
 

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, N, L = 32, 64, 64
+B = int(os.environ.get("MMDTI_TRACE_B", "32"))
+N = int(os.environ.get("MMDTI_TRACE_N", "64"))
+L = int(os.environ.get("MMDTI_TRACE_L", "64"))
 
 
 def main():

@@ -1,0 +1,47 @@
+"""Accuracy regression guard on the finetune protocol (VERDICT r2 #3).
+
+Runs one seed of the reference 5-seed scaffold protocol
+(/root/reference/finetune.py:26-79) on the synthetic dataset with the small
+architecture and pins the test RMSE under a threshold, so kernel / trainer /
+loss changes cannot silently regress accuracy.
+
+Slow (~4-10 min on the 1-core CPU host, dominated by XLA compiles — warm
+compile cache helps): gated behind MMDTI_RUN_SLOW=1 and marked `slow`.
+The flagship-scale equivalent (RMSE 0.27-0.34) runs on the chip via
+`python finetune.py --synthetic`; see docs/PERF.md for the recorded numbers.
+"""
+
+import os
+
+import pytest
+
+SLOW = os.environ.get("MMDTI_RUN_SLOW", "") == "1"
+
+# Measured on this config (seed 0, epochs 8, fp32/XLA path): RMSE 0.7207.
+# A no-learning model scores ~= the target std (~1.2-1.4 on this dataset);
+# the threshold sits between with margin for cross-platform float drift.
+RMSE_CEILING = 0.90
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not SLOW, reason="set MMDTI_RUN_SLOW=1 to run the protocol guard")
+class TestProtocolGuard:
+    def test_seed0_rmse_under_ceiling(self, tmp_path):
+        import finetune as ft
+
+        data = str(tmp_path / "synthetic.csv")
+        ft.make_synthetic_dataset(data)
+        arch = dict(
+            unimol_overrides={"encoder_layers": 2, "embed_dim": 64,
+                              "ffn_embed_dim": 128, "attention_heads": 8},
+            chemberta_overrides={"hidden_size": 64, "num_hidden_layers": 2,
+                                 "num_attention_heads": 4,
+                                 "intermediate_size": 128},
+        )
+        rmse = ft.run_seed(
+            data, 0, str(tmp_path), epochs=8, early_stopping=8, arch=arch,
+            path_overrides={"compute_dtype": "float32", "use_pallas": False},
+        )
+        assert rmse < RMSE_CEILING, (
+            f"protocol seed-0 RMSE {rmse:.4f} regressed past {RMSE_CEILING}"
+        )
