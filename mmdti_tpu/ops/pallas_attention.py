@@ -232,24 +232,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, logits_ref, gout_ref, glog_ref,
     _accum_heads(dk, dk_ref, hc, D)
 
 
-# VMEM envelope for the kernels, in pair elements (hc * q_block * n_cols)
-# per program.  The cap is sized for the HEAVIEST variant; per-kernel byte
-# budgets the number was derived from (v5e: 16MB VMEM/core):
-#   - pair-bias fwd: fp32 logits + p (8B/elem) + double-buffered bf16
-#     bias/out pair blocks (4B/elem)                           ~12 B/elem
-#   - pair-bias bwd (heaviest): fp32 logits/p/dp/dl temporaries
-#     (16B/elem) + double-buffered bf16 STREAMED pair blocks — saved
-#     logits, g_logits, and dbias in/out (12B/elem) + re-derived dropout
-#     mask registers                                           ~66 B/elem
-#     (hc=64, N=64 full-row: 240k elems * 66B = 15.8MB; hc=64 measured
-#     17.4MB with the old 12B/elem estimate -> cap set from the bwd fit)
-#   - masked fwd/bwd: no pair blocks stream (mask is [1,n_cols] per row),
-#     but the bwd keeps fp32 dk/dv OUTPUT blocks resident across q-row
-#     blocks — those are k/v-shaped and therefore counted under
-#     _KV_ELEM_CAP below, NOT under this pair cap.
-# If a new variant adds a streamed pair block or a resident scratch,
-# re-derive its B/elem envelope before reusing these caps.
-_VMEM_ELEM_CAP = 240_000
 # Budget for VMEM-RESIDENT k/v-shaped scratches (elements of hc*n_cols*D).
 # Counts per variant:
 #   - pair-bias bwd: k + v fp32 marshal scratches + dk + dv fp32
@@ -261,6 +243,30 @@ _VMEM_ELEM_CAP = 240_000
 _KV_ELEM_CAP = 131_072
 
 
+# Per-kernel-family pair-element caps for the q-row-blocking policy.  The
+# binding constraint is always the BWD working set (fwd and bwd MUST share one
+# policy: the dropout PRNG stream is seeded per grid program, so a different
+# grid would break the bit-identical backward replay).
+#
+# MXU motivation for large row blocks (measured N=160 4.2x vs N=256 2.6x over
+# XLA with the old shared 240k cap): an MXU pass processes up to 128 rows
+# regardless of how many the block supplies, so qb=32 at N=256 wasted 4x of
+# every QK/PV/dq pass and ran the dk/dv contractions at depth 32.  Raising
+# the caps to reach qb=64..128 is close to free in VMEM terms because the
+# per-element envelope estimates above were conservative:
+#   pair bwd @ (hc=16, qb=64, N=256) = 262k elems x ~28B (4 fp32 temporaries
+#     + 3 double-buffered bf16 streamed pair arrays) ~= 7.3MB, + k/v scratch
+#     0.26MB + resident dk/dv 0.26MB  << 16MB VMEM
+#   masked bwd @ (hc=16, qb=128, N=256) = 524k x ~20B (recomputed-logit
+#     temporaries; NO streamed pair arrays) ~= 10.5MB + mask/kv/residents
+_PAIR_ELEM_CAP = 262_144
+# Full-row (non-blocked) head-chunk selection keeps the round-2-validated
+# envelope: hc=64 full rows at N=64 measured 17.4MB (> VMEM) on the older
+# kernel, so the flagship stays at hc=32 (hc 16-vs-32 measured neutral).
+_PAIR_FULL_ROW_CAP = 240_000
+_MASKED_ELEM_CAP = 524_288
+
+
 def _lane_legal_chunks(H: int, D: int):
     """Head chunks obeying the Mosaic lane rule: the token-block minor dim
     hc*D must be 128-divisible (or the chunk must be the full E = H*D)."""
@@ -270,7 +276,9 @@ def _lane_legal_chunks(H: int, D: int):
     ]
 
 
-def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int):
+def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int,
+                  elem_cap: Optional[int] = None,
+                  full_row_cap: Optional[int] = None):
     """(head_chunk, q_row_block) or None when the shapes are unsupported.
 
     Short sequences (flagship N<=96): the LARGEST lane-legal head chunk whose
@@ -283,6 +291,10 @@ def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int):
     grad accumulators) stay VMEM-resident across the row blocks of a
     (batch, head-chunk) pair, so only q/out/pair blocks stream.
     """
+    if elem_cap is None:  # resolved at call time so tests can monkeypatch
+        elem_cap = _PAIR_ELEM_CAP
+    if full_row_cap is None:
+        full_row_cap = min(elem_cap, _PAIR_FULL_ROW_CAP)
     legal = _lane_legal_chunks(H, D)
     # the resident fp32 k/v scratches (2 x hc*n_cols*D) must also fit: cap
     # them separately so huge-Nk cross shapes fall back instead of blowing
@@ -290,12 +302,12 @@ def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int):
     legal = [hc for hc in legal if hc * n_cols * D <= _KV_ELEM_CAP]
     best = None
     for hc in legal:
-        if hc * n_rows * n_cols <= _VMEM_ELEM_CAP:
+        if hc * n_rows * n_cols <= full_row_cap:
             best = (hc, n_rows)
     if best is not None:
         return best
     for hc in legal:  # ascending: smallest chunk leaves the most row room
-        max_qb = _VMEM_ELEM_CAP // (hc * n_cols)
+        max_qb = elem_cap // (hc * n_cols)
         qb = 0
         for cand in range(8, n_rows, 8):
             if n_rows % cand == 0 and cand <= max_qb:
@@ -530,7 +542,9 @@ def masked_attention_supported(num_heads: int, head_dim: int, q_len: int,
     return (
         q_len % 8 == 0
         and k_len % 8 == 0
-        and _chunk_policy(num_heads, q_len, k_len, head_dim) is not None
+        and _chunk_policy(num_heads, q_len, k_len, head_dim,
+                          elem_cap=_MASKED_ELEM_CAP,
+                          full_row_cap=_MASKED_ELEM_CAP) is not None
     )
 
 
@@ -556,7 +570,8 @@ def _masked_fwd_rule(q, k, v, mask, dropout_rate, seed, deterministic, H):
     Nk = k.shape[1]
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    policy = _chunk_policy(H, Nq, Nk, D)
+    policy = _chunk_policy(H, Nq, Nk, D, elem_cap=_MASKED_ELEM_CAP,
+                           full_row_cap=_MASKED_ELEM_CAP)
     if policy is None:
         raise ValueError(
             f"pallas masked attention unsupported at H={H}, Nq={Nq}, Nk={Nk}; "
@@ -588,7 +603,8 @@ def _masked_bwd_rule(dropout_rate, deterministic, H, res, g_out):
     Nk = k.shape[1]
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    hc, qb = _chunk_policy(H, Nq, Nk, D)
+    hc, qb = _chunk_policy(H, Nq, Nk, D, elem_cap=_MASKED_ELEM_CAP,
+                           full_row_cap=_MASKED_ELEM_CAP)
     multi = qb < Nq
     dkv_dtype = jnp.float32 if multi else k.dtype
     q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, qb, D)

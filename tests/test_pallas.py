@@ -259,7 +259,8 @@ class TestQRowBlocking:
     def _small_cap(self, monkeypatch):
         # H=2, D=8, N=32: full rows need 2*32*32=2048 elems; cap 1024 forces
         # hc=2 (lane rule: hc==H), qb=16 -> 2 row blocks
-        monkeypatch.setattr(pa, "_VMEM_ELEM_CAP", 1024)
+        monkeypatch.setattr(pa, "_PAIR_ELEM_CAP", 1024)
+        monkeypatch.setattr(pa, "_MASKED_ELEM_CAP", 1024)
         assert pa._chunk_policy(2, 32, 32, 8) == (2, 16)
         yield
 
@@ -382,7 +383,13 @@ class TestSupportedShapes:
         assert _chunk_policy(64, 64, 64, 8) == (32, 64)    # full rows
         hc, qb = _chunk_policy(64, 256, 256, 8)
         assert qb < 256 and 256 % qb == 0 and qb % 8 == 0
-        assert hc * qb * 256 <= 240_000
+        from mmdti_tpu.ops.pallas_attention import _PAIR_ELEM_CAP
+
+        assert hc * qb * 256 <= _PAIR_ELEM_CAP
+        # MXU passes process up to 128 rows: the reference max_atoms regime
+        # must not run tiny row blocks (qb=32 measured 2.6x vs XLA; qb=64+
+        # is the point of the per-family caps)
+        assert qb >= 64
         # huge-Nk cross shapes: the policy must keep the resident k/v scratch
         # under its own cap (choosing a smaller head chunk, or falling back)
         # rather than failing Mosaic VMEM allocation at compile time
