@@ -182,6 +182,13 @@ class Trainer:
         # StepTimer p50/p95 logging (train/profiler.py; SURVEY §5)
         self.profile_dir = params.get("profile_dir", None)
         self.profile_steps = int(params.get("profile_steps", 5) or 5)
+        # NaN sanitizer (SURVEY §5): debug_nans=True makes every jit'd step
+        # fail loudly at the first non-finite intermediate instead of
+        # training onward on garbage — MolTrain(debug_nans=True)
+        if params.get("debug_nans"):
+            from mmdti_tpu.train.profiler import enable_nan_debugging
+
+            enable_nan_debugging()
         mesh_shape = params.get("mesh_shape", None)
         self.mesh = params.get("mesh", None) or make_mesh(
             tuple(mesh_shape) if mesh_shape else None

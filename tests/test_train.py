@@ -342,3 +342,18 @@ class TestTrainerDPxTP:
         # TP repartitions the matmul reductions; agreement is to accumulated
         # float tolerance after 2 epochs of training, not bitwise
         np.testing.assert_allclose(pred_tp, pred_dp, atol=5e-3, rtol=1e-2)
+
+
+class TestDebugNans:
+    def test_flag_enables_jax_nan_checking(self):
+        from mmdti_tpu.train.trainer import Trainer
+
+        assert not jax.config.jax_debug_nans
+        try:
+            Trainer(task="regression", metrics="mse", debug_nans=True,
+                    mesh=make_mesh((1, 1), devices=jax.devices()[:1]))
+            assert jax.config.jax_debug_nans
+            with pytest.raises(FloatingPointError):
+                jax.jit(lambda x: x / 0.0)(jnp.zeros(()))
+        finally:
+            jax.config.update("jax_debug_nans", False)
