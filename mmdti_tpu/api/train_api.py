@@ -136,11 +136,9 @@ class MolTrain:
         self.model.run()
 
         scaler = self.data_train["target_scaler"]
-        y_pred = self.model.cv["pred"]
-        y_true = np.array(self.data_train["target"])
+        y_pred = self.model.cv["pred"]  # validation-set predictions
         if scaler is not None and scaler.scaler is not None:
             y_pred = scaler.inverse_transform(y_pred)
-            y_true = scaler.inverse_transform(y_true)
         if self.config["task"] in ["classification", "multilabel_classification"]:
             # The reference hardcodes 0.5 (its grid search is commented out,
             # /root/reference/train.py:187); threshold_search=True enables the

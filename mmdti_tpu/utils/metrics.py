@@ -187,24 +187,35 @@ class Metrics:
         return float("-inf") if self.registry[self.primary_metric()].higher_is_better else float("inf")
 
     # ---- classification threshold search -----------------------------------
-    def search_threshold(self, target, pred, steps: int = 20):
+    def search_threshold(self, target, pred, steps: int = 20, nan_value=-1.0):
         """Grid-search per-column thresholds maximizing the first binarized
         metric (reference: calculate_classification_threshold,
-        utils/metrics.py:260-312)."""
-        target = np.asarray(target)
-        pred = np.asarray(pred)
+        utils/metrics.py:260-312).
+
+        Missing labels are excluded per column with the same convention as
+        cal_metric (NaN, the nan_value sentinel, and non-binary values);
+        columns with no valid rows keep the 0.5 default."""
+        target = np.asarray(target, dtype=np.float64)
+        pred = np.asarray(pred, dtype=np.float64)
         spec = next(
             (self.registry[n] for n in self.metric_names if self.registry[n].needs_binarized),
             CLASSIFICATION_METRICS["f1_score"],
         )
-        ths = np.zeros(target.shape[1])
+        valid = ~np.isnan(target)
+        valid &= (target == 0.0) | (target == 1.0)
+        if nan_value is not None:
+            valid &= target != nan_value
+        ths = np.full(target.shape[1], 0.5)
         for col in range(target.shape[1]):
-            p = pred[:, col]
+            m = valid[:, col]
+            if not m.any():
+                continue
+            t, p = target[m, col].astype(int), pred[m, col]
             best_score = -np.inf if spec.higher_is_better else np.inf
             best_th = 0.5
             for th in np.linspace(p.min(), p.max(), steps):
                 lab = (p > th).astype(int)
-                s = spec.fn(target[:, col].astype(int), lab)
+                s = spec.fn(t, lab)
                 better = s > best_score if spec.higher_is_better else s < best_score
                 if better:
                     best_score, best_th = s, th

@@ -52,7 +52,9 @@ def probe(N: int, rate: float):
         c = jnp.float32(0)
         t0 = time.perf_counter()
         for _ in range(n):
-            r = fn(q * (1 + c * 1e-12), bias)
+            # keep the perturbed input in the production dtype (bf16 * f32
+            # scalar would silently promote and time fp32-I/O kernels)
+            r = fn((q * (1 + c * 1e-12)).astype(q.dtype), bias)
             c = (r[0] if isinstance(r, tuple) else r).astype(jnp.float32)
         float(c)
         return time.perf_counter() - t0

@@ -22,10 +22,13 @@ import shutil  # noqa: E402
 import subprocess  # noqa: E402
 
 if shutil.which("make") and (shutil.which("g++") or shutil.which("cc")):
-    subprocess.run(
-        ["make", "-C", os.path.join(_REPO, "csrc")],
-        check=False, capture_output=True, timeout=120,
-    )
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_REPO, "csrc")],
+            check=False, capture_output=True, timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        pass  # TestNativeParity will report the unbuilt library
 
 # The axon sitecustomize hook registers the TPU tunnel plugin at interpreter
 # startup and pins jax_platforms via jax.config (which outranks the env var) —

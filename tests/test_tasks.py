@@ -45,6 +45,25 @@ class TestThresholdSearch:
             assert searched > 0.8
 
 
+class TestThresholdSearchMissingLabels:
+    def test_sentinel_and_nan_rows_excluded(self):
+        """Missing labels (-1 sentinel / NaN — the cal_metric convention)
+        must not poison the grid search or crash sklearn."""
+        from mmdti_tpu.utils.metrics import Metrics
+
+        rng = np.random.RandomState(1)
+        y = rng.randint(0, 2, size=(100, 2)).astype(float)
+        y[::7, 0] = -1.0   # sentinel-missing rows in col 0
+        y[::5, 1] = np.nan  # NaN-missing rows in col 1
+        p = np.where(y == 1, 0.2 + 0.2 * rng.rand(100, 2), 0.15 * rng.rand(100, 2))
+        m = Metrics("multilabel_classification", "auc")
+        ths = m.search_threshold(y, p)
+        assert np.isfinite(ths).all() and ths.shape == (2,)
+        # an all-missing column keeps the 0.5 default
+        y2 = np.full((10, 1), -1.0)
+        assert m.search_threshold(y2, rng.rand(10, 1))[0] == 0.5
+
+
 class TestMulticlass:
     def test_fit_predict(self, tmp_path):
         from mmdti_tpu import MolPredict, MolTrain
