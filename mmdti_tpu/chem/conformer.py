@@ -237,7 +237,7 @@ def smi2coords(smi: str, seed: int = 42, mode: str = "fast", remove_hs: bool = F
 
 def inner_coords(atoms: Sequence[str], coordinates, remove_hs: bool = True):
     """Optionally strip hydrogens (reference: data/conformer.py:156-180)."""
-    assert len(atoms) == len(coordinates), "coordinates shape is not align atoms"
+    assert len(atoms) == len(coordinates), "atom/coordinate count mismatch"
     coordinates = np.array(coordinates, dtype=np.float32)
     if remove_hs:
         idx = [i for i, a in enumerate(atoms) if a != "H"]

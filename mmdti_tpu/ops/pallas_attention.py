@@ -257,14 +257,20 @@ _KV_ELEM_CAP = 131_072
 #   pair bwd @ (hc=16, qb=64, N=256) = 262k elems x ~28B (4 fp32 temporaries
 #     + 3 double-buffered bf16 streamed pair arrays) ~= 7.3MB, + k/v scratch
 #     0.26MB + resident dk/dv 0.26MB  << 16MB VMEM
-#   masked bwd @ (hc=16, qb=128, N=256) = 524k x ~20B (recomputed-logit
-#     temporaries; NO streamed pair arrays) ~= 10.5MB + mask/kv/residents
+#   masked bwd: NO streamed pair arrays (logits recomputed) — but XLA's
+#     latency-hiding scheduler may place the kernel's dq/dk/dv OUTPUT
+#     arrays in scoped VMEM too (S(1)), so the kernel-internal envelope
+#     must leave room.  Measured: at (hc=16, qb=256, Nk=64, D=32) — the
+#     cross-modal shape under a 524k cap — B=64 runs fail Mosaic scoped
+#     vmem by 148K-916K once ~8-17MB of outputs are vmem-placed; the
+#     round-2-validated 240k cap (hc=8 there) leaves ~4MB headroom and
+#     compiles at every measured shape.
 _PAIR_ELEM_CAP = 262_144
 # Full-row (non-blocked) head-chunk selection keeps the round-2-validated
 # envelope: hc=64 full rows at N=64 measured 17.4MB (> VMEM) on the older
 # kernel, so the flagship stays at hc=32 (hc 16-vs-32 measured neutral).
 _PAIR_FULL_ROW_CAP = 240_000
-_MASKED_ELEM_CAP = 524_288
+_MASKED_ELEM_CAP = 240_000
 
 
 def _lane_legal_chunks(H: int, D: int):

@@ -22,7 +22,7 @@ from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
 from mmdti_tpu.ops.pallas_gbf import gbf_fused_supported
 from mmdti_tpu.train import make_optimizer
 
-B = 32
+B = int(os.environ.get("MMDTI_PROBE_B", "32"))
 REMAT = bool(int(os.environ.get("MMDTI_PROBE_REMAT", "0")))
 
 

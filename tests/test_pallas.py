@@ -401,6 +401,25 @@ class TestSupportedShapes:
         pol = _chunk_policy(8, 512, 512, 64)
         assert pol is not None and pol[0] * 512 * 64 <= _KV_ELEM_CAP
 
+    def test_masked_policy_stays_in_validated_envelope(self):
+        """The masked kernels have no streamed pair arrays, but XLA may place
+        their dq/dk/dv OUTPUT arrays in scoped VMEM: at the cross-modal shape
+        (H=16, D=32, Nq=256, Nk=64) a 524k element cap (hc=16 full rows)
+        measured a Mosaic scoped-vmem compile failure at B=64/N=256 — over by
+        148K-916K bytes.  The 240k envelope (hc=8 there) compiles at every
+        measured shape; raising _MASKED_ELEM_CAP needs a fresh on-chip
+        compile check at B>=64, N=256 (scripts/longseq_probe.py)."""
+        from mmdti_tpu.ops.pallas_attention import (
+            _MASKED_ELEM_CAP,
+            _chunk_policy,
+        )
+
+        assert _MASKED_ELEM_CAP <= 240_000
+        pol = _chunk_policy(16, 256, 64, 32,
+                            elem_cap=_MASKED_ELEM_CAP,
+                            full_row_cap=_MASKED_ELEM_CAP)
+        assert pol == (8, 256)
+
     def test_layer_falls_back_to_xla_on_long_sequences(self):
         """use_pallas=True at unsupported N must silently take the XLA path
         (identical numerics to use_pallas=False)."""
