@@ -32,6 +32,25 @@ from mmdti_tpu.train.trainer import Trainer, load_checkpoint
 from mmdti_tpu.utils.logger import logger
 
 
+def pallas_remat_threshold(batch_size: int) -> int:
+    """Atom-pad at which the engaged-Pallas path auto-enables encoder remat.
+
+    The no-remat window is bounded by activation residency in HBM, dominated
+    by the per-layer bf16 pair-logit chain (~B*H*N^2 bytes/layer over 15
+    layers).  Measured on the v5e: B=64/N=256 FITS and runs 18% faster
+    without remat (201 vs 245 ms/step), while doubling either B or N^2 from
+    there puts the chain alone at ~16GB.  Hold that measured B*N^2 contour
+    (64*256^2) and cap at 320, the round-2-validated B=32 threshold —
+    no-remat shapes beyond the contour or the cap are unmeasured.
+    The XLA path keeps its own threshold (fp32 chain OOMs from N=258 at
+    B=32): 160.
+    """
+    import math
+
+    bound = math.isqrt((64 * 256 * 256) // max(int(batch_size), 1))
+    return min(320, bound + 1)
+
+
 def _unfreeze_dict(tree):
     if isinstance(tree, dict):
         return {k: _unfreeze_dict(v) for k, v in tree.items()}
@@ -128,7 +147,8 @@ class NNModel:
         # softmax pipeline in VMEM: measured at N=256/batch 32 it fits AND
         # runs 16% faster WITHOUT remat (148 vs 177ms/step), so its
         # threshold sits above the reference max_atoms regime.  Larger
-        # batches at long pads can still opt in via unimol_overrides.
+        # batches shrink the window along the measured B*N^2 memory contour
+        # (pallas_remat_threshold); explicit unimol_overrides always win.
         unimol_overrides = dict(params["unimol_overrides"]) if params.get("unimol_overrides") else {}
         # gate on whether the kernels actually ENGAGE at this pad (not just
         # the flag): a non-%8 pad silently takes the XLA path, which still
@@ -142,14 +162,9 @@ class NNModel:
         pallas_engaged = train_pallas and pallas_attention_supported(
             _probe_cfg.attention_heads, _probe_cfg.head_dim, self.atom_pad
         )
-        # The 320 threshold was validated at batch 32 (fits + 16% faster, see
-        # docs/PERF.md).  Activation residency scales ~linearly with batch, so
-        # for larger batches shrink the no-remat window proportionally (floor
-        # at the XLA threshold 160): B=64 engages remat from N=160, B=128 from
-        # N=160 as well — large-batch long-pad runs keep OOM protection.
         _bs = int(getattr(self.trainer, "batch_size", 32))
         if pallas_engaged:
-            remat_threshold = max(160, (320 * 32) // max(_bs, 32))
+            remat_threshold = pallas_remat_threshold(_bs)
         else:
             remat_threshold = 160
         if "remat" not in unimol_overrides and self.atom_pad >= remat_threshold:

@@ -357,3 +357,22 @@ class TestDebugNans:
                 jax.jit(lambda x: x / 0.0)(jnp.zeros(()))
         finally:
             jax.config.update("jax_debug_nans", False)
+
+
+class TestAutoRematPolicy:
+    def test_pallas_threshold_follows_measured_memory_contour(self):
+        """The engaged-Pallas no-remat window holds the measured B*N^2 HBM
+        contour (B=64/N=256 fits on the v5e and runs 18% faster without
+        remat; see docs/PERF.md), capped at the validated B=32 value 320.
+        atom_pad >= threshold engages remat."""
+        from mmdti_tpu.train.nnmodel import pallas_remat_threshold
+
+        assert pallas_remat_threshold(32) == 320   # round-2 validated cap
+        assert pallas_remat_threshold(8) == 320    # small batches stay capped
+        assert pallas_remat_threshold(64) == 257   # N=256 measured to fit
+        assert pallas_remat_threshold(128) == 182  # shrinks along contour
+        assert pallas_remat_threshold(256) == 129  # no stale 160 floor: big
+        # batches engage remat before the old floor would have allowed
+        for b in (32, 64, 128, 256, 512):
+            n = pallas_remat_threshold(b) - 1
+            assert b * n * n <= 64 * 256 * 256 or n == 319
