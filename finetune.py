@@ -21,9 +21,13 @@ from mmdti_tpu import MolPredict, MolTrain  # noqa: E402
 from mmdti_tpu.splits import random_scaffold_split  # noqa: E402
 
 
-def make_synthetic_dataset(path: str, n: int = 400, seed: int = 0) -> None:
+def make_synthetic_dataset(
+    path: str, n: int = 400, seed: int = 0, task: str = "regression"
+) -> None:
     """Solubility-like dataset: diverse scaffolds, target correlated with
-    size/polarity so the model has signal to learn."""
+    size/polarity so the model has signal to learn.  task='classification'
+    binarizes the latent property at its median (a BBBP-shaped balanced
+    binary label) for the ROC-AUC protocol."""
     from mmdti_tpu.chem import parse_smiles
 
     scaffolds = [
@@ -42,16 +46,22 @@ def make_synthetic_dataset(path: str, n: int = 400, seed: int = 0) -> None:
         n_hetero = sum(1 for a in mol.atoms if a.symbol not in ("C", "H"))
         y = -0.2 * n_heavy + 0.8 * n_hetero + rng.randn() * 0.3
         rows.append((smi, y))
-    pd.DataFrame(rows, columns=["smiles", "measured"]).to_csv(path, index=False)
+    df = pd.DataFrame(rows, columns=["smiles", "measured"])
+    if task in ("classification", "multilabel_classification"):
+        df["measured"] = (df["measured"] > df["measured"].median()).astype(int)
+    df.to_csv(path, index=False)
 
 
 def run_seed(
-    data_path, idx, workdir, *, epochs=40, learning_rate=1e-4, batch_size=32,
-    early_stopping=20, fds_num=30, target_col="measured", smiles_col="smiles",
-    chemberta_dir="", unimol_dir="", arch=None, path_overrides=None,
+    data_path, idx, workdir, *, task="regression", epochs=40, learning_rate=1e-4,
+    batch_size=32, early_stopping=20, fds_num=30, target_col="measured",
+    smiles_col="smiles", chemberta_dir="", unimol_dir="", arch=None,
+    path_overrides=None,
 ) -> float:
-    """One protocol seed: scaffold split -> MolTrain -> MolPredict -> RMSE
-    (reference /root/reference/finetune.py:26-79 body)."""
+    """One protocol seed: scaffold split -> MolTrain -> MolPredict -> metric
+    (reference /root/reference/finetune.py:26-79 body).  Regression scores
+    test RMSE (ESOL protocol); classification scores test ROC-AUC (the BBBP
+    protocol shape — FDS/LDS weighting are regression-only and stay off)."""
     train_df, valid_df, test_df = random_scaffold_split(
         data_path, random_seed=idx, ratio_test=0.1, ration_valid=0.1
     )
@@ -61,14 +71,19 @@ def run_seed(
         df.to_csv(p, index=False)
         paths[name] = p
 
+    regression = task == "regression"
+    task_kwargs = dict(
+        use_weight=True, all_weight=False, fds=True, fds_num=fds_num,
+        fds_raw_path=paths["train"], fds_col_data=target_col,
+        target_anomaly_check="filter", metrics="mse",
+    ) if regression else dict(metrics="auc")
     save_path = os.path.join(workdir, f"exp_seed_{idx}")
     clf = MolTrain(
-        task="regression",
+        task=task,
         epochs=epochs,
         learning_rate=learning_rate,
         batch_size=batch_size,
         early_stopping=early_stopping,
-        metrics="mse",
         smiles_col=smiles_col,
         save_path=save_path,
         target_cols=[target_col],
@@ -76,16 +91,10 @@ def run_seed(
         using_infonce=True,
         using_ct=True,
         raw_data=paths["train"],
-        use_weight=True,
-        all_weight=False,
-        fds=True,
         seed=42,
-        target_anomaly_check="filter",
-        fds_num=fds_num,
-        fds_raw_path=paths["train"],
-        fds_col_data=target_col,
         chemberta_dir=chemberta_dir,
         unimol_dir=unimol_dir,
+        **task_kwargs,
         **(path_overrides or {}),
         **(arch or {}),
     )
@@ -94,12 +103,20 @@ def run_seed(
     predictor = MolPredict(load_model=save_path)
     test_pred = predictor.predict(paths["test"])
     truth = pd.read_csv(paths["test"])[target_col].values
-    return float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
+    if regression:
+        return float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
+    from sklearn.metrics import roc_auc_score
+
+    return float(roc_auc_score(truth, test_pred.reshape(-1)))
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", default=None, help="CSV with smiles + target column")
+    ap.add_argument("--task", default="regression",
+                    choices=["regression", "classification"],
+                    help="protocol metric: regression=RMSE (ESOL shape), "
+                         "classification=ROC-AUC (BBBP shape)")
     ap.add_argument("--target-col", default="measured")
     ap.add_argument("--smiles-col", default="smiles")
     ap.add_argument("--seeds", type=int, default=5)
@@ -129,7 +146,7 @@ def main():
     data_path = args.data
     if data_path is None or args.synthetic:
         data_path = os.path.join(args.workdir, "synthetic.csv")
-        make_synthetic_dataset(data_path)
+        make_synthetic_dataset(data_path, task=args.task)
         print(f"Generated synthetic dataset at {data_path}")
 
     arch = {}
@@ -145,10 +162,11 @@ def main():
     if args.use_pallas != "auto":
         path_overrides["use_pallas"] = args.use_pallas == "true"
 
-    test_rmse = []
+    metric_name = "rmse" if args.task == "regression" else "auc"
+    scores = []
     for idx in range(args.seed_offset, args.seed_offset + args.seeds):
-        rmse = run_seed(
-            data_path, idx, args.workdir,
+        score = run_seed(
+            data_path, idx, args.workdir, task=args.task,
             epochs=args.epochs, learning_rate=args.learning_rate,
             batch_size=args.batch_size, early_stopping=args.early_stopping,
             fds_num=args.fds_num, target_col=args.target_col,
@@ -156,12 +174,15 @@ def main():
             unimol_dir=args.unimol_dir, arch=arch,
             path_overrides=path_overrides,
         )
-        test_rmse.append(rmse)
-        print(f"seed {idx}: test RMSE = {rmse:.4f}")
+        scores.append(score)
+        print(f"seed {idx}: test {metric_name.upper()} = {score:.4f}")
 
     seeds = list(range(args.seed_offset, args.seed_offset + args.seeds))
-    pd.DataFrame({"seed": seeds, "rmse": test_rmse}).to_csv(args.out, index=False)
-    print(f"mean RMSE over {args.seeds} seeds: {np.mean(test_rmse):.4f} -> {args.out}")
+    pd.DataFrame({"seed": seeds, metric_name: scores}).to_csv(args.out, index=False)
+    print(
+        f"mean {metric_name.upper()} over {args.seeds} seeds: "
+        f"{np.mean(scores):.4f} -> {args.out}"
+    )
 
 
 if __name__ == "__main__":

@@ -111,6 +111,33 @@ class TestMultilabelGHM:
         assert ((y >= 0) & (y <= 1)).all()  # sigmoid probs
 
 
+class TestBinaryClassification:
+    def test_fit_predict_binary(self, tmp_path):
+        """Binary classification end-to-end — the BBBP-shaped headline task
+        (reference predict.py:84-95 threshold branch): threshold.dat artifact,
+        prob_/predict_ columns, AUC metric file with truth present."""
+        from mmdti_tpu import MolPredict, MolTrain
+
+        train, val = _csvs(tmp_path, {"p_np": lambda r: r.randint(0, 2, len(SMILES_20))})
+        exp = str(tmp_path / "exp")
+        MolTrain(
+            task="classification", epochs=2, batch_size=8, metrics="auc",
+            smiles_col="smiles", save_path=exp, target_cols=["p_np"],
+            using_infonce=True, using_ct=True, seed=0,
+            compute_dtype="float32", use_pallas=False, **SMALL_ARCH,
+        ).fit(train, val)
+        assert os.path.exists(os.path.join(exp, "threshold.dat"))
+        out = str(tmp_path / "out")
+        y = MolPredict(load_model=exp).predict(val, save_path=out)
+        assert y.shape == (4, 1)
+        assert ((y >= 0) & (y <= 1)).all()  # sigmoid probs
+        out_csv = [f for f in os.listdir(out) if f.endswith(".csv")][0]
+        df = pd.read_csv(os.path.join(out, out_csv))
+        assert {"prob_p_np", "predict_p_np"} <= set(df.columns)
+        assert df["predict_p_np"].isin([0, 1]).all()
+        assert os.path.exists(os.path.join(out, "test_metric.result"))
+
+
 class TestNumericalKernelE2E:
     def test_fit_predict_numerical_kernel(self, tmp_path):
         """The NumericalEmbed pair kernel is selectable end-to-end through the
