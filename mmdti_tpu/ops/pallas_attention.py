@@ -152,13 +152,16 @@ def _split_heads_dot(block, hc, D):
 
 
 def _merge_heads_dot(x, hc, D):
-    """[hc, N, D] -> [N, hc*D] via one contraction over (head, feature)."""
+    """[hc, N, D] -> [N, hc*D]: batched selection dot then a head-dim sum
+    (Mosaic's tpu.matmul only supports a single contracting dim, so the
+    (head, feature) double contraction is split into dot + reduction)."""
     sel = _head_sel(hc, D)                      # [hc, D, E]
-    return jax.lax.dot_general(
+    y = jax.lax.dot_general(
         x, sel,
-        dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                            # [N, E]
+    )                                            # [hc, N, E]
+    return jnp.sum(y, axis=0)                    # [N, E]
 
 
 def _marshal_heads(block, buf, hc, D, once: bool = False):
