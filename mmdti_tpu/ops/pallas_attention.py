@@ -42,7 +42,6 @@ mode); see scripts/perf_probe.py for the honest timing methodology.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -118,71 +117,20 @@ def _attention_bwd_core(seed_ref, logits, dp_raw, dropout_rate):
     return dl, pd_un, g_scale
 
 
-# Head split/merge strategy inside the kernels.  "slice": per-head lane-slice
-# copies through a VMEM scratch (each op touches only D=8 of 128 lanes).
-# "dot": one-hot selection matmuls — the MXU does the split/merge and every
-# VPU touch runs at full lane width.  A/B'd via scripts/kernel_probe.py;
-# env override for probing (the value is read at trace time).
-_MARSHAL_MODE = os.environ.get("MMDTI_MARSHAL", "slice")
-
-
-def _head_sel(hc, D, dtype=jnp.float32):
-    """[hc, D, hc*D] one-hot selector: sel[h, f, e] = (e == h*D + f).
-
-    Built from iotas in-kernel (hc*D*E elems, trivial VPU work); contracting
-    x[hc,N,D] with it over (h,f) merges heads, batched-contracting the packed
-    [N,E] block with its transpose splits them."""
-    E = hc * D
-    h_i = jax.lax.broadcasted_iota(jnp.int32, (hc, D, E), 0)
-    f_i = jax.lax.broadcasted_iota(jnp.int32, (hc, D, E), 1)
-    e_i = jax.lax.broadcasted_iota(jnp.int32, (hc, D, E), 2)
-    return (e_i == h_i * D + f_i).astype(dtype)
-
-
-def _split_heads_dot(block, hc, D):
-    """[N, hc*D] -> [hc, N, D] via a batched selection dot on the MXU."""
-    E = hc * D
-    sel = _head_sel(hc, D)                      # [hc, D, E]
-    xb = jnp.broadcast_to(block.astype(jnp.float32)[None], (hc,) + block.shape)
-    return jax.lax.dot_general(
-        xb, sel,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),   # contract e
-        preferred_element_type=jnp.float32,
-    )                                            # [hc, N, D]
-
-
-def _merge_heads_dot(x, hc, D):
-    """[hc, N, D] -> [N, hc*D]: batched selection dot then a head-dim sum
-    (Mosaic's tpu.matmul only supports a single contracting dim, so the
-    (head, feature) double contraction is split into dot + reduction)."""
-    sel = _head_sel(hc, D)                      # [hc, D, E]
-    y = jax.lax.dot_general(
-        x, sel,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                            # [hc, N, E]
-    return jnp.sum(y, axis=0)                    # [N, E]
-
-
 def _marshal_heads(block, buf, hc, D, once: bool = False):
     """[N, hc*D] lane groups -> buf [hc, N, D]; returns the gathered vector.
 
     Mosaic has no lane<->sublane reshape, so heads are marshalled through a
     small VMEM scratch with per-head lane-slice writes; the matmuls then run
     as ONE hc-batched dot_general (a per-head matmul loop measured 12ms/step
-    slower — the tiny [N,D] dots serialize).
+    slower — the tiny [N,D] dots serialize).  A one-hot selection-matmul
+    marshal (MXU does the split/merge) was also measured and REJECTED: slower
+    at N=64 (bwd 0.455 vs 0.358 ms/layer) and failing at N=256 — see
+    docs/PERF.md "Tried and rejected".
 
     once=True: the source block is identical across the q-row-block grid dim
     (k/v under flash blocking) and the scratch persists, so only the first
     row block of a (batch, head-chunk) pair copies."""
-    if _MARSHAL_MODE == "dot":
-        if once:
-            @pl.when(pl.program_id(2) == 0)
-            def _copy():
-                buf[:] = _split_heads_dot(block, hc, D)
-        else:
-            buf[:] = _split_heads_dot(block, hc, D)
-        return buf[:]
     if once:
         @pl.when(pl.program_id(2) == 0)
         def _copy():
@@ -196,11 +144,6 @@ def _marshal_heads(block, buf, hc, D, once: bool = False):
 
 def _spread_heads(x, out_ref, hc, D, start=0):
     """[hc, N, D] -> per-head lane-group stores into out_ref[0] [N, hc*D]."""
-    if _MARSHAL_MODE == "dot":
-        out_ref[0, :, start:start + hc * D] = _merge_heads_dot(x, hc, D).astype(
-            out_ref.dtype
-        )
-        return
     for h in range(hc):
         out_ref[0, :, start + h * D:start + (h + 1) * D] = x[h].astype(
             out_ref.dtype
@@ -213,11 +156,6 @@ def _accum_heads(x, out_ref, hc, D):
     rest add.  The revolving output block stays VMEM-resident because its
     index_map ignores the row-block grid dim."""
     first = pl.program_id(2) == 0
-    if _MARSHAL_MODE == "dot":
-        packed = _merge_heads_dot(x, hc, D)
-        cur = jnp.where(first, 0.0, out_ref[0, :, :].astype(jnp.float32))
-        out_ref[0, :, :] = (cur + packed).astype(out_ref.dtype)
-        return
     for h in range(hc):
         cur = jnp.where(
             first, 0.0, out_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)

@@ -367,46 +367,6 @@ class TestQRowBlocking:
             )
 
 
-class TestDotMarshalMode:
-    """The 'dot' head split/merge strategy (one-hot selection matmuls instead
-    of per-head lane-slice copies) must be value- and grad-identical to the
-    'slice' strategy, including multi-row-block dk/dv accumulation."""
-
-    @pytest.fixture(autouse=True)
-    def _dot_and_small_cap(self, monkeypatch):
-        monkeypatch.setattr(pa, "_MARSHAL_MODE", "dot")
-        monkeypatch.setattr(pa, "_PAIR_ELEM_CAP", 1024)   # force 2 row blocks
-        yield
-
-    def test_pair_bias_fwd_bwd_match_xla(self):
-        H = 2
-        q, k, v, bias = _inputs(H=H, N=32, pad_tail=5)
-
-        def loss_p(q, k, v, b):
-            o, l = pa.pair_bias_attention_pallas(q, k, v, b, num_heads=H)
-            lf = jnp.where(jnp.isfinite(l), l, 0.0)
-            return (o ** 2).sum() + 1e-3 * (lf ** 2).sum()
-
-        def loss_x(q, k, v, b):
-            o, l = _xla(q, k, v, b, H)
-            lf = jnp.where(jnp.isfinite(l), l, 0.0)
-            return (o ** 2).sum() + 1e-3 * (lf ** 2).sum()
-
-        o_x, l_x = _xla(q, k, v, bias, H)
-        o_p, l_p = pa.pair_bias_attention_pallas(q, k, v, bias, num_heads=H)
-        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=1e-5)
-        fin = np.isfinite(np.asarray(l_x))
-        np.testing.assert_allclose(np.asarray(l_p)[fin], np.asarray(l_x)[fin],
-                                   atol=1e-5)
-        gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(q, k, v, bias)
-        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, bias)
-        for name, a, b in zip("qkvb", gx, gp):
-            a, b = np.asarray(a), np.asarray(b)
-            fin = np.isfinite(a) & np.isfinite(b)
-            np.testing.assert_allclose(a[fin], b[fin], atol=1e-4,
-                                       err_msg=f"grad {name} (dot marshal)")
-
-
 class TestSupportedShapes:
     def test_policy(self):
         from mmdti_tpu.ops.pallas_attention import (

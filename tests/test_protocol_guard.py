@@ -45,3 +45,29 @@ class TestProtocolGuard:
         assert rmse < RMSE_CEILING, (
             f"protocol seed-0 RMSE {rmse:.4f} regressed past {RMSE_CEILING}"
         )
+
+    def test_seed0_classification_auc_above_floor(self, tmp_path):
+        """BBBP-shaped guard: the classification stack (BCE head, sigmoid,
+        CT_Single, AUC early-stop) must beat chance by a wide margin on the
+        scaffold-held-out synthetic test set.  Flagship-scale chip runs score
+        mean AUC 0.9368 (docs/PERF.md); this small-arch 8-epoch CPU config
+        measured 0.968 — the 0.70 floor leaves margin for platform drift."""
+        import finetune as ft
+
+        data = str(tmp_path / "synthetic_clf.csv")
+        ft.make_synthetic_dataset(data, task="classification")
+        arch = dict(
+            unimol_overrides={"encoder_layers": 2, "embed_dim": 64,
+                              "ffn_embed_dim": 128, "attention_heads": 8},
+            chemberta_overrides={"hidden_size": 64, "num_hidden_layers": 2,
+                                 "num_attention_heads": 4,
+                                 "intermediate_size": 128},
+        )
+        auc = ft.run_seed(
+            data, 0, str(tmp_path), task="classification", epochs=8,
+            early_stopping=8, arch=arch,
+            path_overrides={"compute_dtype": "float32", "use_pallas": False},
+        )
+        assert auc > 0.70, (
+            f"protocol seed-0 classification AUC {auc:.4f} fell below 0.70"
+        )
