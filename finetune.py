@@ -105,6 +105,11 @@ def run_seed(
     truth = pd.read_csv(paths["test"])[target_col].values
     if regression:
         return float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
+    if len(np.unique(truth)) < 2:
+        # a scaffold test split can come out single-class on real data; AUC
+        # is undefined there — score NaN instead of killing the other seeds
+        print(f"seed {idx}: test split is single-class, AUC undefined (NaN)")
+        return float("nan")
     from sklearn.metrics import roc_auc_score
 
     return float(roc_auc_score(truth, test_pred.reshape(-1)))
@@ -176,12 +181,15 @@ def main():
         )
         scores.append(score)
         print(f"seed {idx}: test {metric_name.upper()} = {score:.4f}")
+        # write incrementally so completed seeds survive a crash mid-protocol
+        seeds_done = list(range(args.seed_offset, args.seed_offset + len(scores)))
+        pd.DataFrame({"seed": seeds_done, metric_name: scores}).to_csv(
+            args.out, index=False
+        )
 
-    seeds = list(range(args.seed_offset, args.seed_offset + args.seeds))
-    pd.DataFrame({"seed": seeds, metric_name: scores}).to_csv(args.out, index=False)
     print(
         f"mean {metric_name.upper()} over {args.seeds} seeds: "
-        f"{np.mean(scores):.4f} -> {args.out}"
+        f"{np.nanmean(scores):.4f} -> {args.out}"
     )
 
 

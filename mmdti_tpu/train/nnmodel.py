@@ -32,22 +32,30 @@ from mmdti_tpu.train.trainer import Trainer, load_checkpoint
 from mmdti_tpu.utils.logger import logger
 
 
-def pallas_remat_threshold(batch_size: int) -> int:
+def pallas_remat_threshold(
+    batch_size: int, attention_heads: int = 64, encoder_layers: int = 15
+) -> int:
     """Atom-pad at which the engaged-Pallas path auto-enables encoder remat.
 
     The no-remat window is bounded by activation residency in HBM, dominated
-    by the per-layer bf16 pair-logit chain (~B*H*N^2 bytes/layer over 15
-    layers).  Measured on the v5e: B=64/N=256 FITS and runs 18% faster
-    without remat (201 vs 245 ms/step), while doubling either B or N^2 from
-    there puts the chain alone at ~16GB.  Hold that measured B*N^2 contour
-    (64*256^2) and cap at 320, the round-2-validated B=32 threshold —
-    no-remat shapes beyond the contour or the cap are unmeasured.
-    The XLA path keeps its own threshold (fp32 chain OOMs from N=258 at
-    B=32): 160.
+    by the bf16 pair-logit chain: ~B*H*N^2*2 bytes per layer over L layers.
+    Measured on the v5e with the flagship arch (H=64, L=15): B=64/N=256 FITS
+    (chain ~8GB of 16GB HBM) and runs 18% faster without remat (201 vs 245
+    ms/step), while doubling either B or N^2 from there puts the chain alone
+    at ~16GB.  Hold that measured BYTE contour — scaled by the actual
+    heads*layers so bigger architectures shrink the window instead of
+    inheriting the flagship's envelope — and cap at 320, the
+    round-2-validated B=32 flagship threshold; no-remat shapes beyond the
+    contour or the cap are unmeasured.  The XLA path keeps its own threshold
+    (fp32 chain OOMs from N=258 at B=32): 160.
     """
     import math
 
-    bound = math.isqrt((64 * 256 * 256) // max(int(batch_size), 1))
+    flagship_budget = 64 * 256 * 256 * 64 * 15   # B * N^2 * H * L (measured fit)
+    denom = max(int(batch_size), 1) * max(int(attention_heads), 1) * max(
+        int(encoder_layers), 1
+    )
+    bound = math.isqrt(flagship_budget // denom)
     return min(320, bound + 1)
 
 
@@ -164,7 +172,9 @@ class NNModel:
         )
         _bs = int(getattr(self.trainer, "batch_size", 32))
         if pallas_engaged:
-            remat_threshold = pallas_remat_threshold(_bs)
+            remat_threshold = pallas_remat_threshold(
+                _bs, _probe_cfg.attention_heads, _probe_cfg.encoder_layers
+            )
         else:
             remat_threshold = 160
         if "remat" not in unimol_overrides and self.atom_pad >= remat_threshold:

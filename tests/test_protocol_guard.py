@@ -22,6 +22,16 @@ SLOW = os.environ.get("MMDTI_RUN_SLOW", "") == "1"
 # the threshold sits between with margin for cross-platform float drift.
 RMSE_CEILING = 0.90
 
+# Both guards are calibrated against THIS architecture — retune the
+# thresholds if it changes.
+GUARD_ARCH = dict(
+    unimol_overrides={"encoder_layers": 2, "embed_dim": 64,
+                      "ffn_embed_dim": 128, "attention_heads": 8},
+    chemberta_overrides={"hidden_size": 64, "num_hidden_layers": 2,
+                         "num_attention_heads": 4,
+                         "intermediate_size": 128},
+)
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(not SLOW, reason="set MMDTI_RUN_SLOW=1 to run the protocol guard")
@@ -31,15 +41,8 @@ class TestProtocolGuard:
 
         data = str(tmp_path / "synthetic.csv")
         ft.make_synthetic_dataset(data)
-        arch = dict(
-            unimol_overrides={"encoder_layers": 2, "embed_dim": 64,
-                              "ffn_embed_dim": 128, "attention_heads": 8},
-            chemberta_overrides={"hidden_size": 64, "num_hidden_layers": 2,
-                                 "num_attention_heads": 4,
-                                 "intermediate_size": 128},
-        )
         rmse = ft.run_seed(
-            data, 0, str(tmp_path), epochs=8, early_stopping=8, arch=arch,
+            data, 0, str(tmp_path), epochs=8, early_stopping=8, arch=GUARD_ARCH,
             path_overrides={"compute_dtype": "float32", "use_pallas": False},
         )
         assert rmse < RMSE_CEILING, (
@@ -56,16 +59,9 @@ class TestProtocolGuard:
 
         data = str(tmp_path / "synthetic_clf.csv")
         ft.make_synthetic_dataset(data, task="classification")
-        arch = dict(
-            unimol_overrides={"encoder_layers": 2, "embed_dim": 64,
-                              "ffn_embed_dim": 128, "attention_heads": 8},
-            chemberta_overrides={"hidden_size": 64, "num_hidden_layers": 2,
-                                 "num_attention_heads": 4,
-                                 "intermediate_size": 128},
-        )
         auc = ft.run_seed(
             data, 0, str(tmp_path), task="classification", epochs=8,
-            early_stopping=8, arch=arch,
+            early_stopping=8, arch=GUARD_ARCH,
             path_overrides={"compute_dtype": "float32", "use_pallas": False},
         )
         assert auc > 0.70, (

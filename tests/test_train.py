@@ -361,10 +361,11 @@ class TestDebugNans:
 
 class TestAutoRematPolicy:
     def test_pallas_threshold_follows_measured_memory_contour(self):
-        """The engaged-Pallas no-remat window holds the measured B*N^2 HBM
-        contour (B=64/N=256 fits on the v5e and runs 18% faster without
-        remat; see docs/PERF.md), capped at the validated B=32 value 320.
-        atom_pad >= threshold engages remat."""
+        """The engaged-Pallas no-remat window holds the measured HBM byte
+        contour of the bf16 pair chain, B*H*N^2*L (B=64/N=256 at the flagship
+        H=64/L=15 fits on the v5e and runs 18% faster without remat; see
+        docs/PERF.md), capped at the validated B=32 value 320.  atom_pad >=
+        threshold engages remat."""
         from mmdti_tpu.train.nnmodel import pallas_remat_threshold
 
         assert pallas_remat_threshold(32) == 320   # round-2 validated cap
@@ -376,3 +377,9 @@ class TestAutoRematPolicy:
         for b in (32, 64, 128, 256, 512):
             n = pallas_remat_threshold(b) - 1
             assert b * n * n <= 64 * 256 * 256 or n == 319
+        # bigger architectures shrink the window instead of inheriting the
+        # flagship envelope: 2x layers ~ 1/sqrt(2) the pad window
+        assert pallas_remat_threshold(64, encoder_layers=30) == 182
+        assert pallas_remat_threshold(64, attention_heads=128) == 182
+        # small archs may widen it but never past the validated cap
+        assert pallas_remat_threshold(64, attention_heads=8, encoder_layers=2) == 320
