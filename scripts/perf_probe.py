@@ -117,6 +117,28 @@ def probe_fwd():
         print(f"  fwd pair_dtype={pd:9s} {dt*1e3:7.2f} ms")
 
 
+def probe_serve():
+    """Serving throughput: fused-Pallas inference forward vs batch size."""
+    global B
+    from __graft_entry__ import _example_batch
+    from mmdti_tpu.models import build_model
+
+    saved = B
+    for bsz in (32, 64, 128, 256):
+        B = bsz
+        model, batch, params = _model_and_batch("bfloat16", use_pallas=True)
+
+        @jax.jit
+        def fwd(x, i):
+            out = model.apply({"params": params}, **batch, deterministic=True)
+            return x + out["logits"].sum()
+
+        n1, n2 = (100, 300) if bsz <= 64 else (30, 90)
+        dt = timed_chain(fwd, jnp.zeros(()), n1=n1, n2=n2)
+        print(f"  serve B={bsz:4d}  {dt*1e3:7.2f} ms  {bsz/dt:8.0f} mols/s")
+    B = saved
+
+
 def probe_step():
     from mmdti_tpu.losses.contrastive import ct_regress
     from mmdti_tpu.train import make_optimizer
