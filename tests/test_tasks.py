@@ -138,6 +138,36 @@ class TestBinaryClassification:
         assert os.path.exists(os.path.join(out, "test_metric.result"))
 
 
+class TestMultilabelRegression:
+    def test_fit_predict_with_nan_targets(self, tmp_path):
+        """Multilabel regression end-to-end with missing labels: MAEwithNan
+        loss, per-column scaler NaN masking (reference datascaler.py:73-79),
+        NaN-masked metric averaging."""
+        from mmdti_tpu import MolPredict, MolTrain
+
+        def col_with_nans(r):
+            y = r.randn(len(SMILES_20))
+            y[::5] = np.nan
+            return y
+
+        train, val = _csvs(
+            tmp_path, {"y1": lambda r: r.randn(len(SMILES_20)), "y2": col_with_nans}
+        )
+        exp = str(tmp_path / "exp")
+        MolTrain(
+            task="multilabel_regression", epochs=2, batch_size=8, metrics="mae",
+            smiles_col="smiles", save_path=exp, target_cols=["y1", "y2"],
+            seed=0, compute_dtype="float32", use_pallas=False, **SMALL_ARCH,
+        ).fit(train, val)
+        y = MolPredict(load_model=exp).predict(val, save_path=str(tmp_path / "out"))
+        assert y.shape == (4, 2)
+        assert np.isfinite(y).all()  # predictions are dense even where truth is NaN
+        out = str(tmp_path / "out")
+        out_csv = [f for f in os.listdir(out) if f.endswith(".csv")][0]
+        df = pd.read_csv(os.path.join(out, out_csv))
+        assert {"predict_y1", "predict_y2"} <= set(df.columns)
+
+
 class TestNumericalKernelE2E:
     def test_fit_predict_numerical_kernel(self, tmp_path):
         """The NumericalEmbed pair kernel is selectable end-to-end through the
