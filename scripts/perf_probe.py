@@ -128,13 +128,17 @@ def probe_serve():
         B = bsz
         model, batch, params = _model_and_batch("bfloat16", use_pallas=True)
 
+        # params/batch passed as ARGS: closing over them embeds them as
+        # constants and blows the remote-compile request limit (HTTP 413)
         @jax.jit
-        def fwd(x, i):
+        def fwd(x, params, batch, i):
             out = model.apply({"params": params}, **batch, deterministic=True)
             return x + out["logits"].sum()
 
         n1, n2 = (100, 300) if bsz <= 64 else (30, 90)
-        dt = timed_chain(fwd, jnp.zeros(()), n1=n1, n2=n2)
+        dt = timed_chain(
+            lambda s, i: fwd(s, params, batch, i), jnp.zeros(()), n1=n1, n2=n2
+        )
         print(f"  serve B={bsz:4d}  {dt*1e3:7.2f} ms  {bsz/dt:8.0f} mols/s")
     B = saved
 
