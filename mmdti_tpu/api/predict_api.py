@@ -46,7 +46,9 @@ class MolPredict:
             data=data, is_train=False, save_path=self.load_model, **self.config
         )
         self.trainer = Trainer(save_path=self.load_model, **self.config)
-        self.model = NNModel(self.datahub.data, self.datahub.data, self.trainer, **self.config)
+        cfg = dict(self.config)
+        cfg["evaluate_only"] = True  # skip the discarded init + pretrained load
+        self.model = NNModel(self.datahub.data, self.datahub.data, self.trainer, **cfg)
         self.model.evaluate(self.trainer, self.load_model)
 
         y_pred = self.model.cv["test_pred"]

@@ -202,8 +202,13 @@ def dataset_pad_lengths(
     for ds in extra_datasets:
         all_feats.extend(ds)
     atom = max(len(f["src_tokens"]) for f in all_feats)
-    if hasattr(tokenizer, "tokenize"):
-        smi = max(len(tokenizer.tokenize(f["smile"])) + 2 for f in all_feats)
-    else:
-        smi = max(len(tokenizer([f["smile"]])["input_ids"][0]) for f in all_feats)
+    # One batched tokenizer call per chunk (not one per sample), with
+    # truncation on — so the pad target is what encode() will actually emit
+    # (both tokenizers pad each chunk to its longest row, so the padded width
+    # IS the chunk's max encoded length).
+    smiles = [f["smile"] for f in all_feats]
+    smi = 1
+    for i in range(0, len(smiles), 4096):
+        enc = tokenizer(smiles[i : i + 4096], truncation=True)
+        smi = max(smi, int(np.asarray(enc["input_ids"]).shape[1]))
     return up(atom), up(smi)

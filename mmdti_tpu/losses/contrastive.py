@@ -49,23 +49,31 @@ def ct_regress(
 ) -> jnp.ndarray:
     f = feature.reshape(feature.shape[0], -1).astype(jnp.float32)
     B = f.shape[0]
-    labels = target.reshape(B, -1).astype(jnp.float32).mean(axis=1, keepdims=True)
+    # nanmean over label columns so NaN-masked multilabel-regression targets
+    # (supported by mae_with_nan) contribute their valid columns; rows with
+    # no valid label at all yield NaN and are excluded from every pair below.
+    labels = jnp.nanmean(target.reshape(B, -1).astype(jnp.float32), axis=1, keepdims=True)
     preds = output.reshape(B, -1).astype(jnp.float32).mean(axis=1, keepdims=True)
     l_dist = jnp.abs(labels - labels.T)
     p_dist = jnp.abs(preds - preds.T)
+    valid = ~jnp.isnan(l_dist)  # pairs where both anchors have a valid label
+    l_dist = jnp.where(valid, l_dist, jnp.inf)
 
     qn = _normalize_rows(f)
     eye = jnp.eye(B, dtype=bool)
     pos_i = ((l_dist <= w) & ~eye).astype(jnp.float32)
-    neg_i = ((~(l_dist <= w)) & (p_dist <= w)).astype(jnp.float32)
+    neg_i = (valid & (~(l_dist <= w)) & (p_dist <= w)).astype(jnp.float32)
     prod = (qn @ qn.T) / t
 
     if weights is None:
         wvec = jnp.ones((B, 1), dtype=jnp.float32)
     else:
         wvec = weights.reshape(B, -1).astype(jnp.float32).mean(axis=1, keepdims=True)
-    pushing_w = l_dist * wvec * e
+    # inf distances only ever multiply a zero neg mask — scrub them so the
+    # exp-weighted sum stays finite
+    pushing_w = jnp.where(valid, l_dist, 0.0) * wvec * e
     denom = (l_dist <= w).sum(axis=1).astype(jnp.float32)  # includes diagonal
+    denom = jnp.maximum(denom, 1.0)  # all-NaN anchors: avoid 0/0 (loss is 0)
     return _pair_loss(prod, pos_i, neg_i, pushing_w, denom)
 
 

@@ -206,15 +206,23 @@ class NNModel:
         self.model = _build(train_pallas)
         # same param tree, Pallas attention inner op — used for eval/serving
         self.model_infer = self.model if infer_pallas == train_pallas else _build(infer_pallas)
-        self.params = self._init_params(params)
-        n_params = sum(x.size for x in jax.tree.leaves(self.params))
-        logger.info("Number of trainable parameters: %d", n_params)
+        if params.get("evaluate_only"):
+            # MolPredict path: evaluate() restores the best checkpoint, which
+            # would overwrite anything initialized here — skip the expensive
+            # model.init jit and the pretrained torch/HF checkpoint ingestion
+            # whose results are discarded (freezing is train-only).
+            self.params = None
+            self.frozen_mask = None
+        else:
+            self.params = self._init_params(params)
+            n_params = sum(x.size for x in jax.tree.leaves(self.params))
+            logger.info("Number of trainable parameters: %d", n_params)
 
-        # freezing ------------------------------------------------------------------
-        self.frozen_mask = self._build_frozen_mask(
-            params.get("freeze_layers"), params.get("freeze_layers_reversed", False),
-            params.get("freeze_module"),
-        )
+            # freezing --------------------------------------------------------------
+            self.frozen_mask = self._build_frozen_mask(
+                params.get("freeze_layers"), params.get("freeze_layers_reversed", False),
+                params.get("freeze_module"),
+            )
 
         # FDS -----------------------------------------------------------------------
         self.fds_state = None
@@ -327,11 +335,15 @@ class NNModel:
         logger.info("start predict MM-DTI TPU model")
         trainer = trainer or self.trainer
         testdataset = MolDataset(self.features_test, np.asarray(self.data_test["target"]))
+        # Load the best checkpoint exactly once and hand the placed params to
+        # predict (load_model=True would restore the same file a second time).
         ckpt = load_checkpoint(checkpoints_path, 0)
-        self.params = ckpt["params"]
+        self.params = trainer._place_params(ckpt["params"])
+        logger.info("load model success!")
         y_pred, _, _ = trainer.predict(
             self.model_infer, self.params, testdataset, self.loss_func, self.activation_fn,
-            checkpoints_path, 0, self.target_scaler, self.collator, load_model=True,
+            checkpoints_path, 0, self.target_scaler, self.collator,
+            load_model=False, skip_metrics=True,
         )
         self.cv["test_pred"] = y_pred
         return y_pred

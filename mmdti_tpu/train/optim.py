@@ -47,10 +47,16 @@ def make_optimizer(
     import jax.numpy as jnp
 
     schedule = linear_warmup_schedule(learning_rate, num_training_steps, warmup_ratio)
-    parts = [
+    parts = []
+    if frozen_mask is not None:
+        # Zero frozen-subtree gradients BEFORE clipping so they neither
+        # inflate the global clip norm (which would silently scale down the
+        # trainable params' updates) nor accumulate Adam moments — matching
+        # the reference's requires_grad=False semantics, where frozen params
+        # simply produce no gradients (models/nnmodel.py:102-132).
+        parts.append(optax.masked(optax.set_to_zero(), frozen_mask))
+    parts += [
         optax.clip_by_global_norm(max_norm),
         optax.adam(schedule, eps=eps, mu_dtype=jnp.dtype(mu_dtype)),
     ]
-    if frozen_mask is not None:
-        parts.append(optax.masked(optax.set_to_zero(), frozen_mask))
     return optax.chain(*parts), schedule

@@ -118,19 +118,26 @@ def train_state_path(dump_dir: str, fold: int) -> str:
     return os.path.join(dump_dir, f"train_state_{fold}.ckpt")
 
 
-def save_train_state(dump_dir, fold, params, opt_state, fds_state, epoch, global_step):
+def save_train_state(dump_dir, fold, params, opt_state, fds_state, epoch, global_step,
+                     best_params=None, early_stop=None):
     os.makedirs(dump_dir, exist_ok=True)
-    blob = flax.serialization.msgpack_serialize(
-        {
-            "params": jax.tree.map(np.asarray, params),
-            "opt_state": flax.serialization.to_state_dict(
-                jax.tree.map(np.asarray, opt_state)
-            ),
-            "fds": jax.tree.map(np.asarray, fds_state) if fds_state is not None else {},
-            "epoch": np.asarray(epoch),
-            "global_step": np.asarray(global_step),
-        }
-    )
+    blob_dict = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": flax.serialization.to_state_dict(
+            jax.tree.map(np.asarray, opt_state)
+        ),
+        "fds": jax.tree.map(np.asarray, fds_state) if fds_state is not None else {},
+        "epoch": np.asarray(epoch),
+        "global_step": np.asarray(global_step),
+    }
+    # Best-so-far weights + early-stop tracking, so a resumed run keeps the
+    # true best checkpoint instead of restarting the search from the resume
+    # point.  early_stop: {"min_val_loss", "wait", "best_score"} floats.
+    if best_params is not None:
+        blob_dict["best_params"] = jax.tree.map(np.asarray, best_params)
+    if early_stop is not None:
+        blob_dict["early_stop"] = {k: np.asarray(float(v)) for k, v in early_stop.items()}
+    blob = flax.serialization.msgpack_serialize(blob_dict)
     tmp = train_state_path(dump_dir, fold) + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -142,7 +149,13 @@ def load_train_state(dump_dir, fold, opt_state_template):
         raw = flax.serialization.msgpack_restore(f.read())
     opt_state = flax.serialization.from_state_dict(opt_state_template, raw["opt_state"])
     fds = raw["fds"] if raw["fds"] else None
-    return raw["params"], opt_state, fds, int(raw["epoch"]), int(raw["global_step"])
+    extra = {
+        "best_params": raw.get("best_params"),
+        "early_stop": {k: float(v) for k, v in raw["early_stop"].items()}
+        if raw.get("early_stop")
+        else None,
+    }
+    return raw["params"], opt_state, fds, int(raw["epoch"]), int(raw["global_step"]), extra
 
 
 def _weighted_loss_mean(val_losses) -> float:
@@ -397,8 +410,9 @@ class Trainer:
 
         start_epoch = 0
         global_step = 0
+        resume_extra = None
         if self.resume and os.path.exists(train_state_path(dump_dir, fold)):
-            p_h, opt_state, fds_h, last_epoch, global_step = load_train_state(
+            p_h, opt_state, fds_h, last_epoch, global_step, resume_extra = load_train_state(
                 dump_dir, fold, opt_state
             )
             params = self._place_params(p_h)
@@ -410,13 +424,29 @@ class Trainer:
         base_rng = jax.random.PRNGKey(self.seed)
         fds_loader = None
         valid_loader = CachedLoader(MolDataLoader(valid_dataset, self.batch_size, collate_fn))
-        best_params, best_fds = params, fds_state
+        # Device COPIES: the first train step donates `params`/`opt_state`
+        # buffers (donate_argnums), so aliasing `params` here would leave
+        # best_params pointing at deleted arrays if no epoch ever improves
+        # (e.g. NaN validation loss from epoch 1) — crashing save_checkpoint
+        # at the end of fit.  Donation is a no-op on CPU, so only real-device
+        # runs hit the aliasing.
+        best_params = jax.tree.map(jnp.copy, params)
+        best_fds = jax.tree.map(jnp.copy, fds_state) if fds_state is not None else None
         min_val_loss = float("inf")
         best_score = self.metrics.initial_best() if self.metrics else None
         use_metric_stop = isinstance(self.metrics_str, str) and self.metrics_str not in (
             "loss", "none", "",
         )
         wait = 0
+        if resume_extra:
+            if resume_extra.get("best_params") is not None:
+                best_params = self._place_params(resume_extra["best_params"])
+            es = resume_extra.get("early_stop")
+            if es:
+                min_val_loss = es.get("min_val_loss", min_val_loss)
+                wait = int(es.get("wait", 0))
+                if use_metric_stop and not np.isnan(es.get("best_score", float("nan"))):
+                    best_score = es["best_score"]
 
         bsh = batch_sharding(self.mesh)
 
@@ -576,7 +606,13 @@ class Trainer:
                 wait += 1
             if self.checkpoint_interval and (epoch + 1) % self.checkpoint_interval == 0:
                 save_train_state(
-                    dump_dir, fold, params, opt_state, fds_state, epoch, global_step
+                    dump_dir, fold, params, opt_state, fds_state, epoch, global_step,
+                    best_params=best_params,
+                    early_stop={
+                        "min_val_loss": min_val_loss,
+                        "wait": wait,
+                        "best_score": float("nan") if best_score is None else best_score,
+                    },
                 )
             if wait >= self.patience:
                 logger.warning("Early stopping at epoch: %d", epoch + 1)
@@ -611,6 +647,7 @@ class Trainer:
         load_model: bool = False,
         eval_step=None,
         loader=None,
+        skip_metrics: bool = False,
     ):
         if load_model:
             ckpt = load_checkpoint(dump_dir, fold)
@@ -621,6 +658,7 @@ class Trainer:
         if loader is None:
             loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
 
+        eval_only = load_model or skip_metrics
         y_preds, y_truths, val_losses = [], [], []
         for batch, labels in loader:
             batch, labels, valid_n = self._pad_to_batch(batch, labels)
@@ -632,7 +670,7 @@ class Trainer:
             )
             y_preds.append(np.asarray(jax.device_get(preds))[:valid_n])
             y_truths.append(labels[:valid_n])
-            if not load_model:
+            if not eval_only:
                 # (loss over valid rows, row count) — averaged row-weighted so
                 # a padded trailing batch cannot bias early stopping.
                 val_losses.append((float(jax.device_get(loss)), valid_n))
@@ -640,7 +678,7 @@ class Trainer:
         y_truths = np.concatenate(y_truths)
 
         metric_score = None
-        if not load_model and self.metrics is not None:
+        if not eval_only and self.metrics is not None:
             if self.alpha != 0:
                 if target_scaler is not None and target_scaler.scaler is not None:
                     inv_p = target_scaler.inverse_transform(y_preds)

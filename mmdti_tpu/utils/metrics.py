@@ -119,8 +119,20 @@ def masked_columnwise_metric(y_true, y_pred, fn, nan_value=None, classification=
     vals = []
     for col in range(y_true.shape[1]):
         m = mask[:, col]
-        if m.any():
-            vals.append(fn(y_true[m, col], y_pred[m, col]))
+        if not m.any():
+            continue
+        try:
+            v = float(fn(y_true[m, col], y_pred[m, col]))
+        except ValueError:
+            # Uncomputable column (e.g. log_loss when the valid labels contain
+            # a single class — common on small or scaffold-split validation
+            # sets): skip the column instead of killing the fit.
+            continue
+        if np.isnan(v):
+            # sklearn signals the same condition with a NaN + warning for
+            # roc_auc_score; a NaN column must not poison the other columns.
+            continue
+        vals.append(v)
     return float(np.mean(vals)) if vals else float("nan")
 
 

@@ -208,6 +208,25 @@ class TestCollation:
         assert order1 == order2
 
 
+class TestDatasetPadLengths:
+    def test_truncation_bounds_smiles_pad(self):
+        """A pathological long SMILES must not inflate the compiled batch
+        shape past what encode() (which truncates to max_len) will emit."""
+        from mmdti_tpu.chem.tokenizer import SmilesTokenizer
+        from mmdti_tpu.data.batching import dataset_pad_lengths
+
+        tok = SmilesTokenizer(max_len=16)
+        feats = [
+            {"src_tokens": np.zeros(5), "smile": "CCO"},
+            {"src_tokens": np.zeros(7), "smile": "C" * 400},  # >> max_len tokens
+        ]
+        atom, smi = dataset_pad_lengths(feats, tok, pad_multiple=8)
+        assert atom == 8
+        assert smi <= 16  # truncated length, rounded to pad_multiple
+        # encode() output always fits the computed pad
+        assert len(tok.encode("C" * 400)) <= smi
+
+
 class TestSplits:
     def _df(self, n=40):
         # many small scaffold buckets so the greedy fill can populate test/valid

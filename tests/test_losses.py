@@ -85,6 +85,42 @@ class TestCTRegress:
         out = np.ones((6, 1), np.float32)
         assert float(ct_regress(jnp.asarray(f), jnp.asarray(y), jnp.asarray(out))) == 0.0
 
+    def test_nan_targets_masked(self):
+        """NaN-masked multilabel-regression targets must not poison the loss:
+        partially-NaN rows keep their valid columns (nanmean), all-NaN rows
+        drop out of every pair, and loss + grads stay finite."""
+        rng = np.random.RandomState(4)
+        B = 8
+        f = rng.randn(B, 16).astype(np.float32)
+        y = rng.randn(B, 2).astype(np.float32)
+        y[1, 0] = np.nan  # partial NaN: row keeps its valid column
+        y[5, :] = np.nan  # all-NaN row: excluded from every pair
+        out = rng.randn(B, 1).astype(np.float32)
+        wts = rng.rand(B).astype(np.float32) + 0.5
+        w, t, e = 0.5, 0.07, 0.01
+        loss, grad = jax.value_and_grad(
+            lambda ff: ct_regress(ff, jnp.asarray(y), jnp.asarray(out),
+                                  jnp.asarray(wts), w=w, t=t, e=e)
+        )(jnp.asarray(f))
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(grad)).all()
+
+        fn = f / np.linalg.norm(f, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore"):
+            l = np.nanmean(y, axis=1)[:, None]
+        p = out.mean(1)[:, None]
+        ld, pdist = np.abs(l - l.T), np.abs(p - p.T)
+        valid = ~np.isnan(ld)
+        ld = np.where(valid, ld, np.inf)
+        pos = (ld <= w).astype(float)
+        np.fill_diagonal(pos, 0.0)
+        neg = (valid & ~(ld <= w) & (pdist <= w)).astype(float)
+        prod = fn @ fn.T / t
+        push = np.where(valid, ld, 0.0) * wts[:, None] * e
+        denom = np.maximum((ld <= w).sum(1), 1.0)
+        want = _oracle_pair_loss(prod, pos, neg, push, denom)
+        np.testing.assert_allclose(float(loss), want, rtol=1e-4)
+
 
 class TestCTSingle:
     def test_matches_oracle_keywise_weights(self):

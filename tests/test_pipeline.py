@@ -37,6 +37,27 @@ class TestAsyncLoader:
         with pytest.raises(RuntimeError, match="boom"):
             list(AsyncLoader(Bad()))
 
+    def test_abandoned_consumer_stops_worker(self):
+        """A consumer that abandons the generator mid-iteration (e.g. an
+        exception in the train loop) must not leave the worker thread blocked
+        on the bounded queue forever."""
+        consumed = [0]
+
+        class Counting:
+            def __iter__(self):
+                for i in range(10_000):
+                    consumed[0] = i
+                    yield i
+
+        gen = iter(AsyncLoader(Counting(), depth=2))
+        assert next(gen) == 0
+        gen.close()  # abandon: fires the generator's finally -> stop event
+        time.sleep(0.5)
+        seen = consumed[0]
+        time.sleep(0.5)
+        assert consumed[0] == seen  # worker stopped pulling from the loader
+        assert consumed[0] < 100   # and it stopped early, not after draining
+
     def test_overlap_speedup(self):
         # consumer that also sleeps: total should approach max(prod, cons)
         delay = 0.005

@@ -64,6 +64,32 @@ class TestThresholdSearchMissingLabels:
         assert m.search_threshold(y2, rng.rand(10, 1))[0] == 0.5
 
 
+class TestSingleClassColumns:
+    def test_cal_metric_survives_single_class_column(self):
+        """A validation column whose valid labels are all one class (common on
+        small scaffold splits) must not raise from roc_auc/log_loss — the
+        column is skipped and the remaining columns are averaged."""
+        from mmdti_tpu.utils.metrics import Metrics
+
+        rng = np.random.RandomState(0)
+        y = rng.randint(0, 2, size=(40, 2)).astype(float)
+        y[:, 1] = 1.0  # single-class column
+        p = np.clip(y * 0.6 + 0.2 * rng.rand(40, 2), 0.01, 0.99)
+        m = Metrics("multilabel_classification", "auc")
+        score = m.cal_metric(y, p)
+        assert np.isfinite(score["auc"])  # col 0 only
+        # every default metric computes without raising
+        assert set(score) >= {"auc", "log_loss", "auprc"}
+
+    def test_all_single_class_gives_nan_not_crash(self):
+        from mmdti_tpu.utils.metrics import Metrics
+
+        y = np.ones((20, 1))
+        p = np.random.RandomState(1).rand(20, 1)
+        score = Metrics("classification", "auc").cal_metric(y, p)
+        assert np.isnan(score["auc"])
+
+
 class TestMulticlass:
     def test_fit_predict(self, tmp_path):
         from mmdti_tpu import MolPredict, MolTrain

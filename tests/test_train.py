@@ -166,6 +166,23 @@ class TestOverfit:
         assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
 
 
+class TestFrozenMaskClipOrdering:
+    def test_frozen_grads_excluded_from_clip_norm(self):
+        """Frozen-subtree gradients are zeroed BEFORE global-norm clipping, so
+        a huge frozen gradient neither scales down the trainable updates nor
+        moves the frozen params (reference requires_grad=False semantics)."""
+        params = {"a": jnp.ones((4,)), "b": jnp.ones((4,))}
+        mask = {"a": False, "b": True}  # b frozen
+        tx, _ = make_optimizer(1e-2, 100, 0.0, max_norm=1.0, frozen_mask=mask)
+        state = tx.init(params)
+        grads_huge_frozen = {"a": jnp.full((4,), 0.1), "b": jnp.full((4,), 1e6)}
+        grads_zero_frozen = {"a": jnp.full((4,), 0.1), "b": jnp.zeros((4,))}
+        u1, _ = tx.update(grads_huge_frozen, state, params)
+        u2, _ = tx.update(grads_zero_frozen, tx.init(params), params)
+        np.testing.assert_allclose(np.asarray(u1["a"]), np.asarray(u2["a"]), rtol=1e-6)
+        assert np.all(np.asarray(u1["b"]) == 0.0)
+
+
 class TestResume:
     def test_train_state_roundtrip(self, tmp_path):
         from mmdti_tpu.train.trainer import load_train_state, save_train_state
@@ -177,11 +194,35 @@ class TestResume:
         tx, _ = make_optimizer(1e-3, 100, 0.1, 1.0)
         opt_state = tx.init(params)
         save_train_state(str(tmp_path), 0, params, opt_state, None, epoch=3, global_step=40)
-        p2, o2, fds2, epoch, step = load_train_state(str(tmp_path), 0, tx.init(params))
+        p2, o2, fds2, epoch, step, extra = load_train_state(str(tmp_path), 0, tx.init(params))
         assert epoch == 3 and step == 40 and fds2 is None
+        assert extra["best_params"] is None and extra["early_stop"] is None
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_best_state_roundtrip(self, tmp_path):
+        """Resume must carry the best-so-far weights and early-stop tracking,
+        not just the current params (a resumed run would otherwise lose the
+        true best checkpoint)."""
+        from mmdti_tpu.train.trainer import load_train_state, save_train_state
+
+        model = _tiny_model()
+        feats, _ = _batch(B=2)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
+        best = jax.tree.map(lambda x: x * 2.0, params)
+        tx, _ = make_optimizer(1e-3, 100, 0.1, 1.0)
+        opt_state = tx.init(params)
+        es = {"min_val_loss": 0.25, "wait": 2, "best_score": float("nan")}
+        save_train_state(str(tmp_path), 0, params, opt_state, None, epoch=7,
+                         global_step=80, best_params=best, early_stop=es)
+        _, _, _, _, _, extra = load_train_state(str(tmp_path), 0, tx.init(params))
+        assert extra["early_stop"]["min_val_loss"] == 0.25
+        assert extra["early_stop"]["wait"] == 2.0
+        assert np.isnan(extra["early_stop"]["best_score"])
+        for a, b in zip(jax.tree.leaves(best), jax.tree.leaves(extra["best_params"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
