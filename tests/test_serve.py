@@ -1,0 +1,177 @@
+"""MolServe: online-serving API over the MolTrain artifact contract.
+
+Covers: prediction parity with MolPredict (same artifacts, bucketed static
+shapes instead of dataset padding), batch-size invariance, the post-processing
+contract per task, the embedding endpoint, and the stdlib HTTP front.
+"""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SMALL_ARCH, SMILES_20
+
+
+@pytest.fixture(scope="module")
+def serve_exp(tmp_path_factory):
+    """Train a tiny regression model once; return (exp_dir, val_csv, val_smiles)."""
+    rng = np.random.RandomState(3)
+    tmp = tmp_path_factory.mktemp("data_serve")
+    df = pd.DataFrame({"smiles": SMILES_20, "measured": rng.randn(len(SMILES_20)) * 2 + 1})
+    train, val = tmp / "train.csv", tmp / "val.csv"
+    df.iloc[:15].to_csv(train, index=False)
+    df.iloc[15:].to_csv(val, index=False)
+
+    exp = str(tmp_path_factory.mktemp("exp_serve"))
+    from mmdti_tpu import MolTrain
+
+    MolTrain(
+        task="regression", epochs=1, learning_rate=1e-3, batch_size=8,
+        early_stopping=5, metrics="mse", smiles_col="smiles", save_path=exp,
+        target_cols=["measured"], seed=42, compute_dtype="float32",
+        use_pallas=False, **SMALL_ARCH,
+    ).fit(str(train), str(val))
+    return exp, str(val), list(df.iloc[15:]["smiles"])
+
+
+@pytest.fixture(scope="module")
+def server(serve_exp):
+    exp, _, _ = serve_exp
+    from mmdti_tpu import MolServe
+
+    return MolServe(exp)
+
+
+class TestMolServe:
+    def test_predict_contract(self, server, serve_exp):
+        _, _, smiles = serve_exp
+        out = server.predict(smiles)
+        assert out["target_cols"] == ["measured"]
+        assert out["predict"].shape == (len(smiles), 1)
+        assert np.isfinite(out["predict"]).all()
+        assert out["proba"] is None  # regression
+
+    def test_single_smiles_accepted(self, server):
+        out = server.predict("CCO")
+        assert out["predict"].shape == (1, 1)
+
+    def test_parity_with_molpredict(self, server, serve_exp, tmp_path):
+        """Serving answers must match batch scoring on the same artifacts —
+        bucket padding (serve) vs dataset padding (MolPredict) is masked out."""
+        exp, val_csv, smiles = serve_exp
+        from mmdti_tpu import MolPredict
+
+        y_batch = np.asarray(MolPredict(load_model=exp).predict(val_csv))
+        y_serve = server.predict(smiles)["predict"]
+        np.testing.assert_allclose(y_serve, y_batch, rtol=1e-4, atol=1e-4)
+
+    def test_batch_invariance(self, server, serve_exp):
+        _, _, smiles = serve_exp
+        together = server.predict(smiles)["predict"]
+        onebyone = np.concatenate([server.predict(s)["predict"] for s in smiles])
+        np.testing.assert_allclose(together, onebyone, rtol=1e-4, atol=1e-5)
+
+    def test_embed_shapes(self, server):
+        cls_r, pooled = server.embed(["CCO", "CCN", "c1ccccc1"])
+        assert cls_r.shape[0] == 3 and pooled.shape[0] == 3
+        assert cls_r.ndim == 2 and pooled.ndim == 2
+        assert np.isfinite(cls_r).all() and np.isfinite(pooled).all()
+
+    def test_warmup_counts_shapes(self, server):
+        before = server.compiled_shapes
+        server.warmup(batch_sizes=(1, 2))
+        assert server.compiled_shapes >= max(before, 2)
+
+    def test_empty_request_rejected(self, server):
+        with pytest.raises(ValueError):
+            server.predict([])
+
+
+class TestPostprocess:
+    def test_regression_inverse_scaled(self):
+        from mmdti_tpu.api.serve_api import postprocess_predictions
+        from mmdti_tpu.data.scaler import TargetScaler
+
+        scaler = TargetScaler("standard", "regression")
+        scaler.fit(np.linspace(-3, 5, 40).reshape(-1, 1))
+        raw = np.array([[0.0], [1.0]])
+        out = postprocess_predictions("regression", raw, scaler=scaler)
+        np.testing.assert_allclose(
+            out["predict"], scaler.inverse_transform(raw), rtol=1e-6
+        )
+        assert out["proba"] is None
+
+    def test_classification_threshold_scalar_and_percolumn(self):
+        from mmdti_tpu.api.serve_api import postprocess_predictions
+
+        probs = np.array([[0.3, 0.9], [0.6, 0.1]])
+        out = postprocess_predictions("classification", probs, threshold=0.5)
+        np.testing.assert_array_equal(out["predict"], [[0, 1], [1, 0]])
+        np.testing.assert_array_equal(out["proba"], probs)
+        # per-column thresholds (threshold_search artifact)
+        out2 = postprocess_predictions(
+            "multilabel_classification", probs, threshold=np.array([0.25, 0.95])
+        )
+        np.testing.assert_array_equal(out2["predict"], [[1, 0], [1, 0]])
+
+    def test_multiclass_argmax(self):
+        from mmdti_tpu.api.serve_api import postprocess_predictions
+
+        probs = np.array([[0.1, 0.7, 0.2], [0.8, 0.1, 0.1]])
+        out = postprocess_predictions("multiclass", probs, multiclass_cnt=3)
+        np.testing.assert_array_equal(out["predict"], [[1], [0]])
+        with pytest.raises(ValueError):
+            postprocess_predictions("multiclass", probs, multiclass_cnt=5)
+
+
+class TestHTTPFront:
+    @pytest.fixture(scope="class")
+    def http_server(self, server):
+        srv = server.make_server(port=0)  # OS-assigned port
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+        srv.server_close()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_health(self, http_server):
+        with urllib.request.urlopen(http_server + "/health", timeout=30) as r:
+            body = json.loads(r.read())
+        assert r.status == 200
+        assert body["status"] == "ok"
+        assert body["task"] == "regression"
+
+    def test_predict_roundtrip(self, http_server, server):
+        code, body = self._post(http_server + "/predict", {"smiles": ["CCO", "CCN"]})
+        assert code == 200
+        assert body["target_cols"] == ["measured"]
+        got = np.asarray(body["predict"])
+        want = server.predict(["CCO", "CCN"])["predict"]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_embed_roundtrip(self, http_server):
+        code, body = self._post(http_server + "/embed", {"smiles": ["CCO"]})
+        assert code == 200
+        assert np.asarray(body["cls_repr"]).shape[0] == 1
+
+    def test_bad_request(self, http_server):
+        code, body = self._post(http_server + "/predict", {"nope": 1})
+        assert code == 400
+        code, _ = self._post(http_server + "/elsewhere", {"smiles": ["C"]})
+        assert code == 404
