@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -267,15 +269,26 @@ class MolServe:
         return len(self._shapes_seen)
 
     # ------------------------------------------------------------------
-    def make_server(self, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
+    def make_server(
+        self, host: str = "127.0.0.1", port: int = 8000,
+        dynamic_batch_window_ms: float = 0.0,
+    ) -> ThreadingHTTPServer:
         """Build (without starting) the HTTP front.
 
         POST /predict  {"smiles": ["CCO", ...]}  ->
             {"predict": [[...]], "proba": [[...]]|null, "target_cols": [...]}
         POST /embed    {"smiles": [...]} -> {"cls_repr": ..., "pooled": ...}
         GET  /health   -> {"status": "ok", "task": ..., "compiled_shapes": N}
+
+        dynamic_batch_window_ms > 0 coalesces concurrent /predict requests
+        into shared device batches (DynamicBatcher).
         """
         serve = self
+        batcher = (
+            DynamicBatcher(self, window_ms=dynamic_batch_window_ms)
+            if dynamic_batch_window_ms > 0
+            else None
+        )
 
         class Handler(BaseHTTPRequestHandler):
             def _reply(self, code: int, payload: Dict[str, Any]):
@@ -306,7 +319,8 @@ class MolServe:
                         self._reply(400, {"error": "body must be {'smiles': [...]}"})
                         return
                     if self.path.rstrip("/") == "/predict":
-                        out = serve.predict(smiles)
+                        out = (batcher.submit(smiles) if batcher
+                               else serve.predict(smiles))
                         self._reply(200, {
                             "predict": np.asarray(out["predict"]).tolist(),
                             "proba": None if out["proba"] is None
@@ -327,16 +341,91 @@ class MolServe:
             def log_message(self, fmt, *args):  # route to framework logger
                 logger.debug("http: " + fmt, *args)
 
-        return ThreadingHTTPServer((host, port), Handler)
+        server = ThreadingHTTPServer((host, port), Handler)
+        server.batcher = batcher  # introspection (tests, ops)
+        return server
 
-    def serve(self, host: str = "127.0.0.1", port: int = 8000):
+    def serve(self, host: str = "127.0.0.1", port: int = 8000,
+              dynamic_batch_window_ms: float = 0.0):
         """Blocking HTTP serving loop."""
-        server = self.make_server(host, port)
+        server = self.make_server(host, port, dynamic_batch_window_ms)
         logger.info("MolServe listening on http://%s:%d", host, server.server_port)
         try:
             server.serve_forever()
         finally:
             server.server_close()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent predict requests into single device batches.
+
+    A lone request waits at most ``window_ms`` for company; whatever arrived
+    by then (capped at the largest batch bucket) rides one device dispatch.
+    This is the standard serving trade — a few ms of added tail latency for
+    a large throughput win when many clients hit the endpoint at once, since
+    a single-molecule dispatch and a bucket-64 dispatch cost nearly the same
+    device time.
+    """
+
+    def __init__(self, serve: "MolServe", window_ms: float = 5.0,
+                 max_batch: Optional[int] = None):
+        self.serve = serve
+        self.window = float(window_ms) / 1e3
+        self.max_batch = int(max_batch or serve.batch_buckets[-1])
+        self._q: queue.Queue = queue.Queue()
+        self.batches_run = 0
+        self.requests_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, smiles: List[str]) -> Dict[str, Any]:
+        """Blocking: returns this request's rows of the coalesced batch."""
+        if not smiles:  # reject here — must not fail a whole shared batch
+            raise ValueError("empty SMILES request")
+        done = threading.Event()
+        holder: Dict[str, Any] = {}
+        self._q.put((list(smiles), done, holder))
+        done.wait()
+        if "error" in holder:
+            raise holder["error"]
+        return holder["out"]
+
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            pending = [first]
+            total = len(first[0])
+            deadline = time.time() + self.window
+            while total < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                pending.append(item)
+                total += len(item[0])
+            all_smiles = [s for smi, _, _ in pending for s in smi]
+            try:
+                out = self.serve.predict(all_smiles)
+                row = 0
+                for smi, done, holder in pending:
+                    n = len(smi)
+                    holder["out"] = {
+                        "predict": out["predict"][row : row + n],
+                        "proba": None if out["proba"] is None
+                        else out["proba"][row : row + n],
+                        "target_cols": out["target_cols"],
+                    }
+                    row += n
+                    done.set()
+            except Exception as e:  # fail every rider of this batch
+                for _, done, holder in pending:
+                    holder["error"] = e
+                    done.set()
+            self.batches_run += 1
+            self.requests_served += len(pending)
 
 
 def main(argv: Optional[List[str]] = None):
@@ -348,11 +437,13 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--warmup", type=int, nargs="*", default=[1],
                     help="batch sizes to pre-compile (default: 1)")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="coalesce concurrent requests for this many ms (0 = off)")
     args = ap.parse_args(argv)
     srv = MolServe(args.model_dir)
     if args.warmup:
         srv.warmup(args.warmup)
-    srv.serve(args.host, args.port)
+    srv.serve(args.host, args.port, dynamic_batch_window_ms=args.batch_window_ms)
 
 
 if __name__ == "__main__":

@@ -175,3 +175,59 @@ class TestHTTPFront:
         assert code == 400
         code, _ = self._post(http_server + "/elsewhere", {"smiles": ["C"]})
         assert code == 404
+
+
+class TestDynamicBatching:
+    def test_concurrent_requests_coalesce(self, server):
+        """N concurrent single-SMILES submits ride fewer device batches than
+        N, and every rider gets exactly its own rows back."""
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        batcher = DynamicBatcher(server, window_ms=200.0)
+        smiles = ["CCO", "CCN", "c1ccccc1", "CC(C)O", "CCCC", "CCS"]
+        want = {s: server.predict(s)["predict"] for s in smiles}
+
+        results, errors = {}, []
+
+        def fire(s):
+            try:
+                results[s] = batcher.submit([s])["predict"]
+            except Exception as e:  # surfaced to the main thread below
+                errors.append(e)
+
+        threads = [threading.Thread(target=fire, args=(s,)) for s in smiles]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors
+        assert batcher.requests_served == len(smiles)
+        assert batcher.batches_run < len(smiles)  # actually coalesced
+        for s in smiles:
+            np.testing.assert_allclose(results[s], want[s], rtol=1e-4, atol=1e-5)
+
+    def test_batcher_propagates_errors(self, server):
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        batcher = DynamicBatcher(server, window_ms=1.0)
+        with pytest.raises(ValueError):
+            batcher.submit([])  # empty request fails inside the batch
+
+    def test_http_with_batching_window(self, server):
+        srv = server.make_server(port=0, dynamic_batch_window_ms=20.0)
+        assert srv.batcher is not None
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_port}/predict"
+            req = urllib.request.Request(
+                url, data=json.dumps({"smiles": ["CCO"]}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                body = json.loads(r.read())
+            assert np.asarray(body["predict"]).shape == (1, 1)
+            assert srv.batcher.batches_run >= 1
+        finally:
+            srv.shutdown()
+            srv.server_close()
