@@ -67,8 +67,17 @@ def build_flagship_exp(exp_dir: str) -> None:
         "input_ids": np.ones((1, 32), np.int32),
         "attention_mask": np.ones((1, 32), np.int32),
     }
-    variables = model.init({"params": rng, "dropout": rng}, **dummy, deterministic=True)
-    params = jax.tree.map(np.asarray, variables["params"])
+    # eval_shape only: no init executable is ever compiled or run — random
+    # values are fine for a latency probe, and the flagship init compile
+    # through the tunnel costs minutes we don't need to pay.
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": rng, "dropout": rng}, **dummy, deterministic=True)
+    )["params"]
+    host_rng = np.random.RandomState(0)
+    params = jax.tree.map(
+        lambda s: (host_rng.standard_normal(s.shape) * 0.02).astype(s.dtype),
+        shapes,
+    )
     save_checkpoint(exp_dir, 0, params, None)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"flagship exp dir built: {n/1e6:.1f}M params", flush=True)
@@ -89,10 +98,12 @@ def main():
         srv = MolServe(exp)
         print(f"MolServe init: {time.time()-t0:.1f}s", flush=True)
 
-        # ---- warm both buckets (pays the jit once) -----------------------
+        # ---- warm the full B=1 bucket grid (production startup pattern;
+        # a cold bucket pays seconds of jit inline otherwise) --------------
         t0 = time.time()
-        srv.warmup(batch_sizes=(1,))
-        print(f"B=1 warmup (compile): {time.time()-t0:.1f}s", flush=True)
+        srv.warmup_buckets(batch_sizes=(1,))
+        print(f"B=1 bucket-grid warmup ({srv.compiled_shapes} shapes): "
+              f"{time.time()-t0:.1f}s", flush=True)
 
         # ---- single-molecule latency (the serving SLO number) ------------
         lats = []

@@ -91,6 +91,18 @@ class TestMolServe:
         with pytest.raises(ValueError):
             server.predict([])
 
+    def test_warmup_buckets_precompiles_grid(self, server):
+        """Grid warmup compiles synthetic shape buckets without real SMILES;
+        a request landing in a warmed bucket then adds no new compilation."""
+        before = server.compiled_shapes
+        server.warmup_buckets(batch_sizes=(1,), atom_buckets=(64,),
+                              smiles_buckets=(48, 64))
+        assert server.compiled_shapes == before + 2
+        assert (1, 64, 48) in server._shapes_seen
+        n = server.compiled_shapes
+        server.predict("CCO")  # (1, 32, 32): warmed by the earlier tests
+        assert server.compiled_shapes == n
+
 
 class TestPostprocess:
     def test_regression_inverse_scaled(self):
