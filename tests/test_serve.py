@@ -91,6 +91,25 @@ class TestMolServe:
         with pytest.raises(ValueError):
             server.predict([])
 
+    def test_feature_cache_hits_and_eviction(self, server):
+        """Repeated SMILES skip the conformer ladder; duplicate rows in one
+        request resolve to the same features; eviction below the request's
+        unique count still answers correctly."""
+        h0 = server.cache_hits
+        out = server.predict(["NCCO", "NCCO", "OCC(O)CO"])["predict"]
+        np.testing.assert_allclose(out[0], out[1], rtol=1e-6)
+        server.predict("OCC(O)CO")  # second occurrence: a cache hit
+        assert server.cache_hits > h0
+        # eviction edge: cache capacity smaller than the request's uniques
+        old_size = server._feat_cache_size
+        try:
+            server._feat_cache_size = 1
+            out2 = server.predict(["CCO", "CCN", "CCS"])["predict"]
+            assert out2.shape == (3, 1) and np.isfinite(out2).all()
+            assert len(server._feat_cache) == 1
+        finally:
+            server._feat_cache_size = old_size
+
     def test_warmup_buckets_precompiles_grid(self, server):
         """Grid warmup compiles synthetic shape buckets without real SMILES;
         a request landing in a warmed bucket then adds no new compilation."""
