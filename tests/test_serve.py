@@ -123,6 +123,46 @@ class TestMolServe:
         assert server.compiled_shapes == n
 
 
+class TestClassificationServe:
+    @pytest.fixture(scope="class")
+    def clf_exp(self, tmp_path_factory):
+        rng = np.random.RandomState(7)
+        tmp = tmp_path_factory.mktemp("data_serve_clf")
+        df = pd.DataFrame({
+            "smiles": SMILES_20,
+            "activity": (rng.rand(len(SMILES_20)) > 0.5).astype(int),
+        })
+        train, val = tmp / "train.csv", tmp / "val.csv"
+        df.iloc[:15].to_csv(train, index=False)
+        df.iloc[15:].to_csv(val, index=False)
+        exp = str(tmp_path_factory.mktemp("exp_serve_clf"))
+        from mmdti_tpu import MolTrain
+
+        MolTrain(
+            task="classification", epochs=1, learning_rate=1e-3, batch_size=8,
+            early_stopping=5, metrics="auc", smiles_col="smiles", save_path=exp,
+            target_cols=["activity"], seed=42, compute_dtype="float32",
+            use_pallas=False, **SMALL_ARCH,
+        ).fit(str(train), str(val))
+        return exp, str(val), list(df.iloc[15:]["smiles"])
+
+    def test_threshold_binarization_and_proba(self, clf_exp):
+        """Serving loads threshold.dat and emits binarized predict_ +
+        probability columns matching MolPredict on the same artifacts."""
+        exp, val_csv, smiles = clf_exp
+        from mmdti_tpu import MolPredict, MolServe
+
+        srv = MolServe(exp)
+        out = srv.predict(smiles)
+        assert set(np.unique(out["predict"])).issubset({0, 1})
+        assert ((out["proba"] >= 0) & (out["proba"] <= 1)).all()
+        probs_batch = np.asarray(MolPredict(load_model=exp).predict(val_csv))
+        np.testing.assert_allclose(out["proba"], probs_batch, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(
+            out["predict"], (probs_batch > srv.threshold).astype(int)
+        )
+
+
 class TestPostprocess:
     def test_regression_inverse_scaled(self):
         from mmdti_tpu.api.serve_api import postprocess_predictions
