@@ -163,6 +163,43 @@ class TestClassificationServe:
         )
 
 
+class TestMulticlassServe:
+    def test_argmax_and_prob_columns(self, tmp_path_factory):
+        """Serving resolves output_dim from config.yaml's multiclass_cnt
+        (no dataset available at load time) and emits argmax + per-class
+        probabilities."""
+        rng = np.random.RandomState(11)
+        tmp = tmp_path_factory.mktemp("data_serve_mc")
+        df = pd.DataFrame({
+            "smiles": SMILES_20,
+            "cls": rng.randint(0, 3, size=len(SMILES_20)),
+        })
+        # every class present in train AND val (reader requirements)
+        df.loc[:2, "cls"] = [0, 1, 2]
+        df.loc[15:17, "cls"] = [0, 1, 2]
+        train, val = tmp / "train.csv", tmp / "val.csv"
+        df.iloc[:15].to_csv(train, index=False)
+        df.iloc[15:].to_csv(val, index=False)
+        exp = str(tmp_path_factory.mktemp("exp_serve_mc"))
+        from mmdti_tpu import MolServe, MolTrain
+
+        MolTrain(
+            task="multiclass", epochs=1, learning_rate=1e-3, batch_size=8,
+            early_stopping=5, metrics="log_loss", smiles_col="smiles",
+            save_path=exp, target_cols=["cls"], seed=42,
+            compute_dtype="float32", use_pallas=False, **SMALL_ARCH,
+        ).fit(str(train), str(val))
+
+        srv = MolServe(exp)
+        assert srv.output_dim == 3
+        out = srv.predict(["CCO", "CCN", "CCS", "c1ccccc1"])
+        assert out["proba"].shape == (4, 3)
+        np.testing.assert_allclose(out["proba"].sum(axis=1), 1.0, rtol=1e-4)
+        np.testing.assert_array_equal(
+            out["predict"].reshape(-1), np.argmax(out["proba"], axis=1)
+        )
+
+
 class TestPostprocess:
     def test_regression_inverse_scaled(self):
         from mmdti_tpu.api.serve_api import postprocess_predictions
