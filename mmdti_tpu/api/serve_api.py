@@ -174,6 +174,9 @@ class MolServe:
             chemberta_overrides=dict(cfg["chemberta_overrides"])
             if cfg.get("chemberta_overrides")
             else None,
+            crossmodal_overrides=dict(cfg["crossmodal_overrides"])
+            if cfg.get("crossmodal_overrides")
+            else None,
         )
         ckpt = load_checkpoint(load_model, 0)
         self.params = jax.device_put(ckpt["params"])

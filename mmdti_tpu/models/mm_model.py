@@ -206,6 +206,7 @@ def build_model(
     use_pallas: bool = False,
     unimol_overrides: Optional[dict] = None,
     chemberta_overrides: Optional[dict] = None,
+    crossmodal_overrides: Optional[dict] = None,
 ) -> MMModel:
     """Assemble the flagship model from task-level options."""
     import dataclasses
@@ -216,7 +217,12 @@ def build_model(
     # so the XLA oracle path and CPU tests keep exact numerics.
     ucfg = UniMolEncoderConfig(**(unimol_overrides or {}))
     ccfg = ChemBertaConfig(vocab_size=smiles_vocab_size, **(chemberta_overrides or {}))
-    xcfg = CrossModalConfig(hidden_size=ucfg.embed_dim)
+    # fusion stack is configurable here (the reference hardcodes
+    # crossmodal_config(), models/mm_model.py:362-377); hidden_size tracks
+    # the encoder embed_dim unless explicitly overridden
+    xcfg = CrossModalConfig(
+        **{"hidden_size": ucfg.embed_dim, **(crossmodal_overrides or {})}
+    )
     fcfg = dataclasses.replace(FDSConfig(), bucket_num=fds_num, feature_dim=ucfg.embed_dim)
     return MMModel(
         unimol_cfg=ucfg,

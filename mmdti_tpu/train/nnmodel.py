@@ -201,6 +201,7 @@ class NNModel:
                 use_pallas=pallas_flag,
                 unimol_overrides=unimol_overrides or None,
                 chemberta_overrides=dict(params["chemberta_overrides"]) if params.get("chemberta_overrides") else None,
+                crossmodal_overrides=dict(params["crossmodal_overrides"]) if params.get("crossmodal_overrides") else None,
             )
 
         self.model = _build(train_pallas)

@@ -30,6 +30,7 @@ import flax.serialization
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from mmdti_tpu.data.batching import CachedLoader, MolDataLoader
 from mmdti_tpu.data.pipeline import prefetch_to_device
@@ -191,6 +192,12 @@ class Trainer:
         self.resume = bool(params.get("resume", False))
         # train steps fused per device dispatch (amortizes host/RPC latency)
         self.steps_per_call = int(params.get("steps_per_call", 4) or 1)
+        # gradient accumulation: K micro-batches average into one optimizer
+        # update (effective batch = K * batch_size without the activation
+        # memory).  Batch-coupled losses (InfoNCE negatives, ConR pairs, GHM
+        # bins) see the micro-batch, not the effective batch — same trade
+        # every accumulation implementation makes.
+        self.accumulate_steps = int(params.get("accumulate_steps", 1) or 1)
         # xprof tracing of the first profile_steps dispatches + per-epoch
         # StepTimer p50/p95 logging (train/profiler.py; SURVEY §5)
         self.profile_dir = params.get("profile_dir", None)
@@ -390,11 +397,16 @@ class Trainer:
             raise ValueError(
                 f"train set ({len(train_dataset)}) smaller than batch size {self.batch_size}"
             )
-        num_training_steps = steps_per_epoch * self.max_epochs
+        # the LR schedule runs in optimizer *updates*: with gradient
+        # accumulation, MultiSteps only advances the inner (clip+adam) state
+        # every K micro-steps, so the schedule horizon is micro_steps // K
+        num_updates = max(1, steps_per_epoch * self.max_epochs // self.accumulate_steps)
         tx, _ = make_optimizer(
-            self.learning_rate, num_training_steps, self.warmup_ratio, self.max_norm,
+            self.learning_rate, num_updates, self.warmup_ratio, self.max_norm,
             frozen_mask=frozen_mask, mu_dtype=self.mu_dtype,
         )
+        if self.accumulate_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_steps)
         params = self._place_params(params)
         opt_state = tx.init(params)
         if fds_state is not None:

@@ -385,6 +385,53 @@ class TestTrainerDPxTP:
         np.testing.assert_allclose(pred_tp, pred_dp, atol=5e-3, rtol=1e-2)
 
 
+class TestGradAccumulation:
+    """accumulate_steps=K at batch B must equal one update at batch K*B:
+    the loader's seeded permutation makes K consecutive micro-batches exactly
+    the rows of one large batch, MultiSteps averages their gradients, and the
+    LR schedule runs in optimizer updates — so the two runs take the same
+    parameter trajectory (all dropout zeroed; batch-coupled losses off)."""
+
+    def _fit(self, tmp_path, tag, batch_size, accumulate_steps):
+        import os
+
+        import pandas as pd
+
+        from mmdti_tpu import MolTrain
+        from tests.conftest import SMALL_ARCH, SMILES_20
+
+        rng = np.random.RandomState(5)
+        smiles = SMILES_20 * 2
+        df = pd.DataFrame({
+            "smiles": smiles, "y": rng.randn(len(smiles)).astype(float),
+        })
+        train_csv = str(tmp_path / f"train_{tag}.csv")
+        val_csv = str(tmp_path / f"val_{tag}.csv")
+        df.iloc[:32].to_csv(train_csv, index=False)
+        df.iloc[32:].to_csv(val_csv, index=False)
+        exp = str(tmp_path / f"exp_{tag}")
+        m = MolTrain(
+            task="regression", epochs=2, batch_size=batch_size, metrics="mse",
+            smiles_col="smiles", save_path=exp, target_cols=["y"],
+            seed=0, compute_dtype="float32", use_pallas=False,
+            accumulate_steps=accumulate_steps,
+            crossmodal_overrides={
+                "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
+            },
+            **SMALL_ARCH,
+        )
+        m.fit(train_csv, val_csv)
+        assert os.path.exists(os.path.join(exp, "model_0.ckpt"))
+        return np.asarray(m.cv_pred)
+
+    def test_accumulation_matches_large_batch(self, tmp_path):
+        big = self._fit(tmp_path, "big", batch_size=16, accumulate_steps=1)
+        acc = self._fit(tmp_path, "acc", batch_size=8, accumulate_steps=2)
+        assert acc.shape == big.shape
+        # identical update math up to fp32 summation order
+        np.testing.assert_allclose(acc, big, atol=2e-4, rtol=1e-3)
+
+
 class TestDebugNans:
     def test_flag_enables_jax_nan_checking(self):
         from mmdti_tpu.train.trainer import Trainer
