@@ -284,6 +284,12 @@ class MolServe:
             self.config.get("multiclass_cnt"),
         )
         out["target_cols"] = self.target_cols
+        # a molecule that fell through the conformer ladder to zero
+        # coordinates still gets a prediction (batch-scoring parity) but is
+        # flagged so callers can discard it
+        out["valid"] = np.array(
+            [not (np.asarray(f["src_coord"]) == 0.0).all() for f in feats]
+        )
         return out
 
     def embed(self, smiles: Union[str, Sequence[str]]):
@@ -399,6 +405,8 @@ class MolServe:
                             "proba": None if out["proba"] is None
                             else np.asarray(out["proba"]).tolist(),
                             "target_cols": out["target_cols"],
+                            "valid": np.asarray(out["valid"]).tolist()
+                            if "valid" in out else None,
                         })
                     elif self.path.rstrip("/") == "/embed":
                         cls_r, pooled = serve.embed(smiles)
@@ -490,6 +498,7 @@ class DynamicBatcher:
                         "proba": None if out["proba"] is None
                         else out["proba"][row : row + n],
                         "target_cols": out["target_cols"],
+                        "valid": out["valid"][row : row + n],
                     }
                     row += n
                     done.set()

@@ -450,6 +450,7 @@ class Trainer:
             "loss", "none", "",
         )
         wait = 0
+        history: list = []  # per-epoch scalars -> history_{fold}.json artifact
         if resume_extra:
             if resume_extra.get("best_params") is not None:
                 best_params = self._place_params(resume_extra["best_params"])
@@ -587,6 +588,16 @@ class Trainer:
             total_val_loss = _weighted_loss_mean(val_losses)
             first_metric = next(iter(metric_score)) if metric_score else "loss"
             first_score = metric_score.get(first_metric, float("nan"))
+            history.append({
+                "epoch": epoch + 1,
+                "train_loss": float(train_means["loss"]),
+                "m_loss": float(train_means["m_loss"]),
+                "infonce_loss": float(train_means["infonce_loss"]),
+                "ct_loss": float(train_means["ct_loss"]),
+                "val_loss": float(total_val_loss),
+                **{f"val_{k}": float(v) for k, v in (metric_score or {}).items()},
+                "seconds": round(time.time() - t0, 2),
+            })
             logger.info(
                 "Epoch [%d/%d] train_loss: %.4f, m_loss: %.4f, infonce: %.4f, ct: %.4f, "
                 "val_loss: %.4f, val_%s: %.4f, %.1fs",
@@ -636,6 +647,14 @@ class Trainer:
 
         save_checkpoint(dump_dir, fold, best_params, best_fds,
                         backend=self.checkpoint_backend)
+        if dump_dir:
+            # structured per-epoch scalars (SURVEY §5 observability): the
+            # reference only has its console log line; this is the parseable
+            # artifact dashboards/regression tooling read
+            import json
+
+            with open(os.path.join(dump_dir, f"history_{fold}.json"), "w") as f:
+                json.dump(history, f, indent=1)
         # final predict with best weights
         y_preds, _, _ = self.predict(
             model, params, valid_dataset, loss_fn, activation_fn,

@@ -49,6 +49,18 @@ class TestTrainArtifacts:
         assert "model_0.ckpt" in files
         assert "target_scaler.ss" in files
 
+    def test_history_artifact(self, trained_exp):
+        """Per-epoch scalars land in a parseable history_{fold}.json."""
+        import json
+
+        exp, _, _ = trained_exp
+        with open(os.path.join(exp, "history_0.json")) as f:
+            hist = json.load(f)
+        assert len(hist) >= 1
+        for row in hist:
+            assert {"epoch", "train_loss", "val_loss", "seconds"} <= set(row)
+            assert np.isfinite(row["val_loss"])
+
     def test_config_roundtrip(self, trained_exp):
         exp, _, _ = trained_exp
         from mmdti_tpu.configs import load_yaml

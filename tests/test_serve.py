@@ -110,6 +110,23 @@ class TestMolServe:
         finally:
             server._feat_cache_size = old_size
 
+    def test_valid_flag(self, server):
+        """Molecules that fell to the zero-coordinate fallback are flagged
+        invalid while still receiving a prediction (batch-scoring parity)."""
+        out = server.predict(["CCO", "CCN"])
+        assert out["valid"].tolist() == [True, True]
+        # inject a zero-coord featurization through the LRU cache (the
+        # ladder's last rung is hard to trigger with a parseable SMILES)
+        import copy
+
+        fake = copy.deepcopy(server._feat_cache["CCO"])
+        fake["src_coord"] = np.zeros_like(np.asarray(fake["src_coord"]))
+        fake["smile"] = "FAKEMOL"
+        server._feat_cache["FAKEMOL"] = fake
+        out2 = server.predict(["CCO", "FAKEMOL"])
+        assert out2["valid"].tolist() == [True, False]
+        assert np.isfinite(out2["predict"]).all()
+
     def test_warmup_buckets_precompiles_grid(self, server):
         """Grid warmup compiles synthetic shape buckets without real SMILES;
         a request landing in a warmed bucket then adds no new compilation."""
