@@ -40,7 +40,6 @@ import joblib
 import numpy as np
 
 from mmdti_tpu.chem import ConformerGen
-from mmdti_tpu.chem.dictionary import Dictionary
 from mmdti_tpu.chem.tokenizer import load_tokenizer
 from mmdti_tpu.configs.config import load_yaml
 from mmdti_tpu.data.batching import BatchCollator
@@ -55,6 +54,17 @@ _FEATURE_KEYS = (
 )
 
 DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _feat_nbytes(feat: Dict[str, Any]) -> int:
+    """Approximate host-RAM footprint of one cached featurization dict."""
+    total = 0
+    for v in feat.values():
+        if isinstance(v, np.ndarray):
+            total += v.nbytes
+        elif isinstance(v, str):
+            total += len(v)
+    return total
 
 
 def postprocess_predictions(
@@ -96,11 +106,15 @@ class MolServe:
     batch_buckets:   static batch sizes requests are padded onto; larger
                      requests are chunked at the largest bucket.
     num_workers:     host featurization threads (0 = inline).
-    feature_cache:   LRU size for per-SMILES featurization results (0 = off).
-                     Featurization is deterministic per SMILES (fixed seed)
-                     and dominates end-to-end request cost (measured: 172.7ms
-                     of a B=64 request vs 10.8ms device time), so repeated
-                     molecules skip conformer generation entirely.
+    feature_cache:   LRU entry bound for per-SMILES featurization results
+                     (0 = off).  Featurization is deterministic per SMILES
+                     (fixed seed) and dominates end-to-end request cost
+                     (measured: 172.7ms of a B=64 request vs 10.8ms device
+                     time), so repeated molecules skip conformer generation.
+    feature_cache_bytes: host-RAM bound on the same cache (default 256MB) —
+                     a large-molecule entry holds O(N^2) distance/edge arrays
+                     (~0.5MB at max_atoms=256), so the entry bound alone
+                     could grow to gigabytes.
     """
 
     def __init__(
@@ -110,6 +124,7 @@ class MolServe:
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         num_workers: int = 0,
         feature_cache: int = 4096,
+        feature_cache_bytes: int = 256 << 20,
     ):
         if not load_model or not os.path.isdir(load_model):
             raise ValueError(f"load_model must be an experiment dir, got {load_model!r}")
@@ -124,15 +139,12 @@ class MolServe:
         cfg = dict(self.config)
 
         # --- host featurization ------------------------------------------
-        unimol_dir = cfg.get("unimol_dir", "") or ""
-        dict_path = None
-        if unimol_dir:
-            cand = os.path.join(os.path.dirname(unimol_dir), "mol.dict.txt")
-            dict_path = cand if os.path.exists(cand) else None
-        self.dictionary = Dictionary.load(dict_path)
-        self.dictionary.add_symbol("[MASK]", is_special=True)
         self.tokenizer = load_tokenizer(cfg.get("chemberta_dir", "") or None)
         self.conformer = ConformerGen(**{**cfg, "num_workers": num_workers})
+        # ConformerGen resolves the atom dictionary exactly the way NNModel
+        # does (unimol_dir -> mol.dict.txt, + [MASK]); share it instead of
+        # re-deriving the lookup rule here
+        self.dictionary = self.conformer.dictionary
         self.collator = BatchCollator(
             self.tokenizer, pad_idx=self.dictionary.pad(), pad_mode="bucket"
         )
@@ -202,6 +214,8 @@ class MolServe:
         self._lock = threading.Lock()
         self._feat_cache: "OrderedDict[str, Dict[str, Any]]" = OrderedDict()
         self._feat_cache_size = int(feature_cache)
+        self._feat_cache_byte_cap = int(feature_cache_bytes)
+        self._feat_cache_bytes = 0
         self.cache_hits = 0
         logger.info(
             "MolServe ready: task=%s output_dim=%d pallas=%s backend=%s",
@@ -221,14 +235,16 @@ class MolServe:
         # copies into padded batch arrays and never mutates samples).
         resolved: Dict[str, Dict[str, Any]] = {}
         misses = []
+        seen_miss = set()
         for s in smiles:
-            if s in resolved:
+            if s in resolved or s in seen_miss:
                 continue
             if s in cache:
                 cache.move_to_end(s)
                 resolved[s] = cache[s]
                 self.cache_hits += 1
             else:
+                seen_miss.add(s)
                 misses.append(s)
         if misses:
             new_feats = self.conformer.transform(misses)
@@ -236,8 +252,13 @@ class MolServe:
                 f["smile"] = s
                 resolved[s] = f
                 cache[s] = f
-            while len(cache) > self._feat_cache_size:
-                cache.popitem(last=False)
+                self._feat_cache_bytes += _feat_nbytes(f)
+            while cache and (
+                len(cache) > self._feat_cache_size
+                or self._feat_cache_bytes > self._feat_cache_byte_cap
+            ):
+                _, evicted = cache.popitem(last=False)
+                self._feat_cache_bytes -= _feat_nbytes(evicted)
         return [resolved[s] for s in smiles]
 
     def _device_feats(self, feats_chunk: List[Dict[str, Any]]):
@@ -266,11 +287,13 @@ class MolServe:
 
     # ------------------------------------------------------------------
     def predict(self, smiles: Union[str, Sequence[str]]) -> Dict[str, Any]:
-        """SMILES (one or a list) -> {"predict", "proba", "target_cols"}.
+        """SMILES (one or a list) -> {"predict", "proba", "target_cols",
+        "valid"}.
 
-        Invalid SMILES follow the featurizer's documented fallback ladder
-        (3D -> 2D -> zero coordinates) rather than erroring, mirroring batch
-        scoring; callers wanting strict rejection should validate upstream.
+        Unembeddable SMILES follow the featurizer's documented fallback
+        ladder (3D -> 2D -> zero coordinates) rather than erroring, mirroring
+        batch scoring — they come back with valid=False; unparseable SMILES
+        raise.
         """
         one = isinstance(smiles, str)
         smi_list = [smiles] if one else list(smiles)
@@ -326,7 +349,11 @@ class MolServe:
         smiles_buckets = tuple(smiles_buckets or self.collator.smiles_buckets[:3])
         pad = self.dictionary.pad()
         for b in batch_sizes:
-            bucket = next(x for x in self.batch_buckets if x >= int(b))
+            # clamp like predict(), which chunks at the largest bucket
+            bucket = next(
+                (x for x in self.batch_buckets if x >= int(b)),
+                self.batch_buckets[-1],
+            )
             for na in atom_buckets:
                 for ns in smiles_buckets:
                     tok = np.full((bucket, na), pad, np.int32)
@@ -422,7 +449,13 @@ class MolServe:
             def log_message(self, fmt, *args):  # route to framework logger
                 logger.debug("http: " + fmt, *args)
 
-        server = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            def server_close(self):  # stop the coalescing thread with the server
+                if batcher is not None:
+                    batcher.stop()
+                super().server_close()
+
+        server = _Server((host, port), Handler)
         server.batcher = batcher  # introspection (tests, ops)
         return server
 
@@ -448,6 +481,8 @@ class DynamicBatcher:
     device time.
     """
 
+    _STOP = object()
+
     def __init__(self, serve: "MolServe", window_ms: float = 5.0,
                  max_batch: Optional[int] = None):
         self.serve = serve
@@ -459,6 +494,10 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def stop(self):
+        """Stop the coalescing thread (idempotent)."""
+        self._q.put(self._STOP)
+
     def submit(self, smiles: List[str]) -> Dict[str, Any]:
         """Blocking: returns this request's rows of the coalesced batch."""
         if not smiles:  # reject here — must not fail a whole shared batch
@@ -466,46 +505,72 @@ class DynamicBatcher:
         done = threading.Event()
         holder: Dict[str, Any] = {}
         self._q.put((list(smiles), done, holder))
-        done.wait()
+        # liveness guard: if the loop thread is gone (stop() or a fatal
+        # error), fail loudly instead of blocking this client forever
+        while not done.wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("DynamicBatcher thread is not running")
         if "error" in holder:
             raise holder["error"]
         return holder["out"]
 
+    def _serve_pending(self, pending):
+        all_smiles = [s for smi, _, _ in pending for s in smi]
+        try:
+            out = self.serve.predict(all_smiles)
+        except Exception:
+            # blast-radius isolation: one rider's bad molecule (e.g. an
+            # unparseable SMILES raising in the featurizer) must not 500
+            # the innocent co-batched requests — retry each rider alone so
+            # only the failing ones error
+            for smi, done, holder in pending:
+                try:
+                    holder["out"] = self.serve.predict(list(smi))
+                except Exception as e:
+                    holder["error"] = e
+                done.set()
+            return
+        row = 0
+        for smi, done, holder in pending:
+            n = len(smi)
+            holder["out"] = {
+                "predict": out["predict"][row : row + n],
+                "proba": None if out["proba"] is None
+                else out["proba"][row : row + n],
+                "target_cols": out["target_cols"],
+                "valid": out["valid"][row : row + n],
+            }
+            row += n
+            done.set()
+
     def _loop(self):
         while True:
             first = self._q.get()
+            if first is self._STOP:
+                return
             pending = [first]
             total = len(first[0])
-            deadline = time.time() + self.window
+            deadline = time.monotonic() + self.window  # immune to clock steps
             while total < self.max_batch:
-                remaining = deadline - time.time()
+                remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
                     item = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if item is self._STOP:
+                    self._q.put(self._STOP)  # stop after draining this batch
+                    break
                 pending.append(item)
                 total += len(item[0])
-            all_smiles = [s for smi, _, _ in pending for s in smi]
             try:
-                out = self.serve.predict(all_smiles)
-                row = 0
-                for smi, done, holder in pending:
-                    n = len(smi)
-                    holder["out"] = {
-                        "predict": out["predict"][row : row + n],
-                        "proba": None if out["proba"] is None
-                        else out["proba"][row : row + n],
-                        "target_cols": out["target_cols"],
-                        "valid": out["valid"][row : row + n],
-                    }
-                    row += n
-                    done.set()
-            except Exception as e:  # fail every rider of this batch
+                self._serve_pending(pending)
+            except Exception as e:  # belt-and-braces: never die mid-loop
                 for _, done, holder in pending:
-                    holder["error"] = e
-                    done.set()
+                    if not done.is_set():
+                        holder["error"] = e
+                        done.set()
             self.batches_run += 1
             self.requests_served += len(pending)
 

@@ -159,6 +159,37 @@ def load_train_state(dump_dir, fold, opt_state_template):
     return raw["params"], opt_state, fds, int(raw["epoch"]), int(raw["global_step"]), extra
 
 
+def history_path(dump_dir: str, fold: int) -> str:
+    return os.path.join(dump_dir, f"history_{fold}.json")
+
+
+def _write_history(dump_dir: Optional[str], fold: int, history) -> None:
+    """Persist the per-epoch scalar log (SURVEY §5 observability): the
+    reference only has its console log line; this is the parseable artifact
+    dashboards/regression tooling read.  Rewritten every epoch (~KB) so a
+    crash or resume never loses earlier epochs' rows."""
+    if not dump_dir:
+        return
+    import json
+
+    with open(history_path(dump_dir, fold), "w") as f:
+        json.dump(history, f, indent=1)
+
+
+def _load_history(dump_dir: Optional[str], fold: int, upto_epoch: int):
+    """Rows from a previous run's artifact, truncated to resumed epochs."""
+    if not dump_dir or not os.path.exists(history_path(dump_dir, fold)):
+        return []
+    import json
+
+    try:
+        with open(history_path(dump_dir, fold)) as f:
+            rows = json.load(f)
+        return [r for r in rows if int(r.get("epoch", 0)) <= upto_epoch]
+    except Exception:  # a corrupt artifact must not block training
+        return []
+
+
 def _weighted_loss_mean(val_losses) -> float:
     """Row-weighted mean of per-batch (loss, n_valid_rows) pairs."""
     if not val_losses:
@@ -450,7 +481,9 @@ class Trainer:
             "loss", "none", "",
         )
         wait = 0
-        history: list = []  # per-epoch scalars -> history_{fold}.json artifact
+        # per-epoch scalars -> history_{fold}.json artifact; on resume, keep
+        # the previous run's rows up to the resumed epoch
+        history: list = _load_history(dump_dir, fold, start_epoch)
         if resume_extra:
             if resume_extra.get("best_params") is not None:
                 best_params = self._place_params(resume_extra["best_params"])
@@ -598,6 +631,7 @@ class Trainer:
                 **{f"val_{k}": float(v) for k, v in (metric_score or {}).items()},
                 "seconds": round(time.time() - t0, 2),
             })
+            _write_history(dump_dir, fold, history)
             logger.info(
                 "Epoch [%d/%d] train_loss: %.4f, m_loss: %.4f, infonce: %.4f, ct: %.4f, "
                 "val_loss: %.4f, val_%s: %.4f, %.1fs",
@@ -647,14 +681,6 @@ class Trainer:
 
         save_checkpoint(dump_dir, fold, best_params, best_fds,
                         backend=self.checkpoint_backend)
-        if dump_dir:
-            # structured per-epoch scalars (SURVEY §5 observability): the
-            # reference only has its console log line; this is the parseable
-            # artifact dashboards/regression tooling read
-            import json
-
-            with open(os.path.join(dump_dir, f"history_{fold}.json"), "w") as f:
-                json.dump(history, f, indent=1)
         # final predict with best weights
         y_preds, _, _ = self.predict(
             model, params, valid_dataset, loss_fn, activation_fn,

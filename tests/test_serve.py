@@ -109,6 +109,23 @@ class TestMolServe:
             assert len(server._feat_cache) == 1
         finally:
             server._feat_cache_size = old_size
+        # byte bound evicts independently of the entry bound
+        old_cap = server._feat_cache_byte_cap
+        try:
+            server._feat_cache_byte_cap = 1  # everything over budget
+            server.predict(["CCO", "CCN"])
+            assert len(server._feat_cache) == 0
+            assert server._feat_cache_bytes == 0
+        finally:
+            server._feat_cache_byte_cap = old_cap
+
+    def test_warmup_buckets_clamps_large_batch(self, server):
+        """batch sizes beyond the largest bucket clamp (predict chunks there
+        too) instead of raising."""
+        server.warmup_buckets(
+            batch_sizes=(999,), atom_buckets=(32,), smiles_buckets=(32,)
+        )
+        assert (server.batch_buckets[-1], 32, 32) in server._shapes_seen
 
     def test_valid_flag(self, server):
         """Molecules that fell to the zero-coordinate fallback are flagged
@@ -337,6 +354,51 @@ class TestDynamicBatching:
         batcher = DynamicBatcher(server, window_ms=1.0)
         with pytest.raises(ValueError):
             batcher.submit([])  # empty request fails inside the batch
+
+    def test_bad_rider_does_not_fail_shared_batch(self, server):
+        """Blast-radius isolation: an unparseable SMILES from one rider must
+        not fail the innocent co-batched requests — the batch is retried
+        per rider so only the failing one errors."""
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        batcher = DynamicBatcher(server, window_ms=200.0)
+        results: dict = {}
+
+        def good():
+            results["good"] = batcher.submit(["CCO"])
+
+        def bad():
+            try:
+                batcher.submit(["not_a_smiles((("])
+                results["bad"] = "no error"
+            except Exception as e:
+                results["bad"] = e
+
+        threads = [threading.Thread(target=good), threading.Thread(target=bad)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert isinstance(results["bad"], Exception)
+        assert np.isfinite(results["good"]["predict"]).all()
+        batcher.stop()
+
+    def test_stop_makes_submit_fail_loudly(self, server):
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        batcher = DynamicBatcher(server, window_ms=1.0)
+        batcher.stop()
+        batcher._thread.join(timeout=30)
+        assert not batcher._thread.is_alive()
+        with pytest.raises(RuntimeError):
+            batcher.submit(["CCO"])
+
+    def test_server_close_stops_batcher(self, server):
+        srv = server.make_server(port=0, dynamic_batch_window_ms=10.0)
+        assert srv.batcher._thread.is_alive()
+        srv.server_close()
+        srv.batcher._thread.join(timeout=30)
+        assert not srv.batcher._thread.is_alive()
 
     def test_http_with_batching_window(self, server):
         srv = server.make_server(port=0, dynamic_batch_window_ms=20.0)

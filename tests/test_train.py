@@ -226,6 +226,45 @@ class TestResume:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class TestResumeE2E:
+    def test_resume_continues_and_history_is_complete(self, tmp_path):
+        """Full-API resume: a second MolTrain(resume=True) run picks up from
+        the saved train state, and history_{fold}.json keeps the first run's
+        epochs instead of being truncated to post-resume rows."""
+        import json
+        import os
+
+        import pandas as pd
+
+        from mmdti_tpu import MolTrain
+        from tests.conftest import SMALL_ARCH, SMILES_20
+
+        rng = np.random.RandomState(1)
+        df = pd.DataFrame({
+            "smiles": SMILES_20, "y": rng.randn(len(SMILES_20)).astype(float),
+        })
+        train_csv = str(tmp_path / "train.csv")
+        val_csv = str(tmp_path / "val.csv")
+        df.iloc[:16].to_csv(train_csv, index=False)
+        df.iloc[16:].to_csv(val_csv, index=False)
+        exp = str(tmp_path / "exp")
+        common = dict(
+            task="regression", batch_size=8, metrics="mse", smiles_col="smiles",
+            save_path=exp, target_cols=["y"], seed=0, compute_dtype="float32",
+            use_pallas=False, checkpoint_interval=1, early_stopping=10,
+            **SMALL_ARCH,
+        )
+        MolTrain(epochs=2, **common).fit(train_csv, val_csv)
+        with open(os.path.join(exp, "history_0.json")) as f:
+            assert [r["epoch"] for r in json.load(f)] == [1, 2]
+
+        MolTrain(epochs=4, resume=True, **common).fit(train_csv, val_csv)
+        with open(os.path.join(exp, "history_0.json")) as f:
+            hist = json.load(f)
+        assert [r["epoch"] for r in hist] == [1, 2, 3, 4]
+        assert all(np.isfinite(r["val_loss"]) for r in hist)
+
+
 class _FakeTokenizer:
     """Deterministic stand-in for the SMILES tokenizer in collation tests."""
 
