@@ -203,6 +203,61 @@ class TestParserEdgeCases:
         assert orders == [1.0, 1.0, 2.0]
 
 
+class TestParserFuzz:
+    def test_never_crashes_only_smileserror(self):
+        """Adversarial byte soup: the parser must either return a Molecule or
+        raise SmilesError (a ValueError) — never IndexError/KeyError/
+        RecursionError/hang.  Serving feeds it untrusted client strings."""
+        import itertools
+        import random
+
+        from mmdti_tpu.chem import parse_smiles
+        from mmdti_tpu.chem.smiles import SmilesError
+
+        rng = random.Random(0)
+        alphabet = "CNOSPFclnos()[]=#+-@/\\%123456789Hh.*Br"
+        cases = ["".join(rng.choices(alphabet, k=rng.randint(1, 30)))
+                 for _ in range(300)]
+        # targeted nasties: unbalanced constructs, dangling ring bonds,
+        # empty/whitespace, huge ring indices, lone brackets
+        cases += [
+            "", " ", "(", ")", "((((", "C(", "C)", "[", "]", "[C", "C]",
+            "C1", "C%", "C%1", "C%999", "C=", "C#", "C.", ".", "C..C",
+            "[]", "[+]", "[13]", "C//C", "%%", "1C", "=C", "#", "C1CC2",
+            "[Zz]", "c1ccccc1(", "C" * 500,
+        ]
+        for s in cases:
+            try:
+                mol = parse_smiles(s)
+                assert mol.num_atoms() >= 0
+            except SmilesError:
+                pass  # the one allowed failure mode
+
+    def test_parse_then_featurize_fuzz(self):
+        """Strings that parse must also survive the full featurization path
+        (hydrogens, terms, coordinates) without crashing."""
+        import random
+
+        from mmdti_tpu.chem import parse_smiles
+        from mmdti_tpu.chem.conformer import smi2coords
+        from mmdti_tpu.chem.smiles import SmilesError
+
+        rng = random.Random(1)
+        alphabet = "CNOScno()=#123[]+-H"
+        survived = 0
+        for _ in range(120):
+            s = "".join(rng.choices(alphabet, k=rng.randint(1, 20)))
+            try:
+                parse_smiles(s)
+            except SmilesError:
+                continue
+            atoms, coords = smi2coords(s, seed=0)
+            assert len(atoms) == len(coords)
+            assert np.isfinite(coords).all()
+            survived += 1
+        assert survived > 0  # the corpus must exercise the success path
+
+
 class TestConformerGolden:
     def test_energy_model_stability(self):
         """Golden digest guards accidental changes to the conformer energy

@@ -312,6 +312,29 @@ class TestHTTPFront:
         assert code == 200
         assert np.asarray(body["cls_repr"]).shape[0] == 1
 
+    def test_concurrent_clients(self, http_server):
+        """8 threads x 3 requests: all must return 200 with correct shapes
+        (requests serialize through the device lock; no deadlock, no 500s)."""
+        codes = []
+        lock = threading.Lock()
+
+        def client(i):
+            for j in range(3):
+                code, body = self._post(
+                    http_server + "/predict", {"smiles": ["CCO", "CCN"]}
+                )
+                with lock:
+                    codes.append((code, np.asarray(body.get("predict")).shape
+                                  if code == 200 else None))
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(codes) == 24
+        assert all(c == 200 and shape == (2, 1) for c, shape in codes)
+
     def test_bad_request(self, http_server):
         code, body = self._post(http_server + "/predict", {"nope": 1})
         assert code == 400
