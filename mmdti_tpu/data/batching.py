@@ -56,6 +56,12 @@ class BatchCollator:
         atom_buckets: Sequence[int] = DEFAULT_ATOM_BUCKETS,
         smiles_buckets: Sequence[int] = DEFAULT_SMILES_BUCKETS,
     ):
+        if pad_mode not in ("dataset", "fixed", "bucket", "ragged"):
+            raise ValueError(
+                f"unknown pad_mode {pad_mode!r}: expected 'dataset' (dataset-"
+                "wide static shape), 'fixed' (config-wide static shape), "
+                "'bucket', or 'ragged' (per-batch, CPU/debug)"
+            )
         self.tokenizer = tokenizer
         self.pad_idx = pad_idx
         self.pad_mode = pad_mode
@@ -65,14 +71,17 @@ class BatchCollator:
         self.smiles_buckets = tuple(smiles_buckets)
 
     def _atom_target(self, max_len: int) -> Optional[int]:
-        if self.pad_mode == "dataset" and self.atom_pad is not None:
+        # 'fixed' differs from 'dataset' only in WHO chose the pad targets
+        # (config-wide constants vs dataset max, train/nnmodel.py) — both pad
+        # every batch to one static shape here
+        if self.pad_mode in ("dataset", "fixed") and self.atom_pad is not None:
             return self.atom_pad
         if self.pad_mode == "bucket":
             return bucket_length(max_len, self.atom_buckets)
         return None  # ragged per-batch (CPU/debug)
 
     def _smiles_target(self, max_len: int) -> Optional[int]:
-        if self.pad_mode == "dataset" and self.smiles_pad is not None:
+        if self.pad_mode in ("dataset", "fixed") and self.smiles_pad is not None:
             return self.smiles_pad
         if self.pad_mode == "bucket":
             return bucket_length(max_len, self.smiles_buckets)
@@ -112,8 +121,12 @@ class BatchCollator:
 
         if "smile" in feats[0]:
             smiles = [f["smile"] for f in feats]
-            if self.pad_mode == "dataset" and self.smiles_pad is not None:
+            if self.pad_mode in ("dataset", "fixed") and self.smiles_pad is not None:
                 tok = self.tokenizer(smiles, pad_to=self.smiles_pad)
+                if tok["input_ids"].shape[1] > self.smiles_pad:
+                    # 'fixed' guarantees the width even for SMILES longer
+                    # than the configured pad (tokenizers only widen)
+                    tok = {k: v[:, : self.smiles_pad] for k, v in tok.items()}
             elif self.pad_mode == "bucket":
                 probe = self.tokenizer(smiles)  # natural width
                 width = probe["input_ids"].shape[1]

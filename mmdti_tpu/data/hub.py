@@ -89,7 +89,11 @@ class DataHub:
         if task == "regression":
             target = np.array(raw_target, dtype=np.float32).reshape(-1, 1)
             if scaler is not None:
-                if self.is_train and scaler.scaler is None:
+                # Training always REFITS (a stale target_scaler.ss from a
+                # previous run into the same experiment dir would otherwise
+                # be silently reused on new data); predict keeps the loaded
+                # artifact.
+                if self.is_train:
                     scaler.fit(self._scaler_fit_source(target), self.save_path)
                     logger.info("Fitted target scaler.")
                 target = scaler.transform(target)
@@ -103,7 +107,7 @@ class DataHub:
         elif task == "multilabel_regression":
             target = np.array(raw_target, dtype=np.float32).reshape(-1, num_classes)
             if scaler is not None:
-                if self.is_train and scaler.scaler is None:
+                if self.is_train:  # always refit — see the regression branch
                     scaler.fit(self._scaler_fit_source(target), self.save_path)
                 target = scaler.transform(target)
             self.data["target"] = np.asarray(target, dtype=np.float32)
@@ -123,7 +127,11 @@ class DataHub:
             )
             logger.info("Computed %s sample weights.", "per-column" if self.all_weight else "single-column")
         else:
-            tgt = np.asarray(self.data["target"]) if task != "repr" else np.zeros((len(self.data["smiles"] or []), 1))
+            if task != "repr":
+                tgt = np.asarray(self.data["target"])
+            else:
+                n = len(self.data["smiles"] or self.data.get("atoms") or [])
+                tgt = np.zeros((n, 1))
             self.data["weights"] = np.ones_like(tgt, dtype=np.float32)
 
         # conformer features (cached; the cache is keyed by the featurizer
@@ -165,7 +173,9 @@ class DataHub:
                 logger.info("Saved conformer features to cache %s", cache_dir)
 
         weights = np.asarray(self.data["weights"])
+        smiles = self.data.get("smiles")
         for idx, item in enumerate(features):
-            item["smile"] = self.data["smiles"][idx]
+            if smiles is not None:  # raw atoms/coords input has no SMILES
+                item["smile"] = smiles[idx]
             item["weights"] = weights[idx] if weights.ndim > 0 else weights
         self.data["unimol_input"] = features

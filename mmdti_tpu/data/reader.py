@@ -73,11 +73,14 @@ class MolDataReader:
             if target_cols is None:
                 target_cols = [c for c in data.columns if c.startswith(target_col_prefix)]
             else:
+                # predict-time placeholder sentinel, filled PER missing
+                # column (deliberate fix over the reference, whose
+                # `data[target_cols] = -1.0` at datareader.py:96 overwrites
+                # every target column — including real labels — as soon as
+                # one is absent)
                 for col in target_cols:
                     if col not in data.columns:
-                        # predict-time placeholder sentinel
-                        data[target_cols] = -1.0
-                        break
+                        data[col] = -1.0
             if is_train and anomaly_clean:
                 data = self.anomaly_clean(data, task, target_cols)
             multiclass_cnt = (
@@ -127,6 +130,11 @@ class MolDataReader:
             sz = data.shape[0]
             col = target_cols[0]
             mean, std = data[col].mean(), data[col].std()
+            # constant (std=0) or single-row (std=NaN) targets: the 3-sigma
+            # band is empty/undefined and would drop the whole dataset
+            if not np.isfinite(std) or std == 0.0:
+                logger.info("Anomaly clean skipped: target std is %s", std)
+                return data
             data = data[(data[col] > mean - 3 * std) & (data[col] < mean + 3 * std)].reset_index(drop=True)
             logger.info("Anomaly clean with 3 sigma threshold: %d -> %d", sz, data.shape[0])
             return data

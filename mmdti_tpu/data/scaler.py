@@ -57,7 +57,11 @@ class TargetScaler:
             kind = "box-cox" if np.min(target) > 0 else "yeo-johnson"
             return SCALER_MODE[method](method=kind)
         if method == "log1p":
-            return SCALER_MODE[method](np.log1p)
+            # inverse_func is a deliberate fix over the reference
+            # (datascaler.py:158 passes only np.log1p, so its
+            # inverse_transform is the identity and predictions stay in log
+            # space); expm1 restores the original target scale
+            return SCALER_MODE[method](np.log1p, inverse_func=np.expm1)
         return SCALER_MODE[method]()
 
     def is_skewed(self, target) -> bool:

@@ -57,14 +57,18 @@ def local_batch_to_global(mesh: Mesh, batch: dict) -> dict:
 
 
 def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
-    """mesh_shape = (data, model); default all devices on the data axis."""
+    """mesh_shape = (data, model); default all devices on the data axis.
+
+    A shape covering FEWER devices than available takes the first data*model
+    devices (e.g. mesh_shape=(1, 1) debugs single-device semantics on an
+    8-chip host, or (4, 1) leaves chips free for a colocated job)."""
     devices = list(devices if devices is not None else jax.devices())
     if mesh_shape is None:
         mesh_shape = (len(devices), 1)
     d, m = mesh_shape
-    if d * m != len(devices):
-        raise ValueError(f"mesh shape {mesh_shape} != {len(devices)} devices")
-    arr = np.asarray(devices).reshape(d, m)
+    if d * m > len(devices):
+        raise ValueError(f"mesh shape {mesh_shape} needs {d * m} devices; only {len(devices)} available")
+    arr = np.asarray(devices[: d * m]).reshape(d, m)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

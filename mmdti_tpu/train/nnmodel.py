@@ -123,10 +123,23 @@ class NNModel:
 
         # static pad shapes across train+test (one XLA compilation) ---------------
         pad_multiple = int(params.get("pad_multiple", 16))
-        self.atom_pad, self.smiles_pad = dataset_pad_lengths(
-            self.features_train, self.tokenizer, pad_multiple,
-            extra_datasets=[self.features_test],
-        )
+        pad_mode = params.get("pad_mode", "dataset")
+        if pad_mode == "fixed":
+            # config-wide constants, independent of the dataset: every run
+            # with the same config compiles the same shapes (stable compile
+            # cache across datasets); atoms can never exceed max_atoms+2
+            # (BOS/EOS, featurizer crop), SMILES are truncated by the
+            # collator at smiles_pad_len
+            def _up(n):
+                return int(-(-n // pad_multiple) * pad_multiple)
+
+            self.atom_pad = _up(int(params.get("max_atoms", 256)) + 2)
+            self.smiles_pad = _up(int(params.get("smiles_pad_len", 128)))
+        else:
+            self.atom_pad, self.smiles_pad = dataset_pad_lengths(
+                self.features_train, self.tokenizer, pad_multiple,
+                extra_datasets=[self.features_test],
+            )
         self.collator = BatchCollator(
             self.tokenizer,
             pad_idx=self.dictionary.pad(),

@@ -120,7 +120,7 @@ def train_state_path(dump_dir: str, fold: int) -> str:
 
 
 def save_train_state(dump_dir, fold, params, opt_state, fds_state, epoch, global_step,
-                     best_params=None, early_stop=None):
+                     best_params=None, early_stop=None, loss_state=None):
     os.makedirs(dump_dir, exist_ok=True)
     blob_dict = {
         "params": jax.tree.map(np.asarray, params),
@@ -131,6 +131,10 @@ def save_train_state(dump_dir, fold, params, opt_state, fds_state, epoch, global
         "epoch": np.asarray(epoch),
         "global_step": np.asarray(global_step),
     }
+    if loss_state is not None:
+        # stateful-loss carry (GHM's EMA bin counts) — a resume without it
+        # would silently restart the gradient-density weighting from scratch
+        blob_dict["loss_state"] = [np.asarray(x) for x in jax.tree.leaves(loss_state)]
     # Best-so-far weights + early-stop tracking, so a resumed run keeps the
     # true best checkpoint instead of restarting the search from the resume
     # point.  early_stop: {"min_val_loss", "wait", "best_score"} floats.
@@ -155,6 +159,8 @@ def load_train_state(dump_dir, fold, opt_state_template):
         "early_stop": {k: float(v) for k, v in raw["early_stop"].items()}
         if raw.get("early_stop")
         else None,
+        # flat leaves; the caller re-assembles with its template's treedef
+        "loss_state_leaves": raw.get("loss_state"),
     }
     return raw["params"], opt_state, fds, int(raw["epoch"]), int(raw["global_step"]), extra
 
@@ -461,6 +467,14 @@ class Trainer:
             params = self._place_params(p_h)
             if fds_h is not None:
                 fds_state = replicate(self.mesh, fds_h)
+            if resume_extra.get("loss_state_leaves") is not None:
+                # restore the stateful-loss carry (GHM EMA bins) with this
+                # run's treedef — a fresh run would otherwise restart the
+                # gradient-density weighting from zeroed bins
+                loss_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(loss_state),
+                    [jnp.asarray(x) for x in resume_extra["loss_state_leaves"]],
+                )
             start_epoch = last_epoch + 1
             logger.info("Resumed train state from epoch %d", last_epoch)
 
@@ -539,10 +553,38 @@ class Trainer:
             t0 = time.time()
             epoch_metrics = []
             epoch_f = jnp.asarray(epoch, jnp.float32)
+
+            def run_single(item):
+                nonlocal params, opt_state, loss_state, global_step
+                feats, labels_d, w_d = item
+                rng = jax.random.fold_in(base_rng, global_step)
+                dispatch_begin()
+                params, opt_state, loss_state, m = train_step(
+                    params, opt_state, fds_state, loss_state, feats, labels_d,
+                    w_d, epoch_f, rng,
+                )
+                dispatch_end(m)
+                epoch_metrics.append(m)
+                global_step += 1
+
             pending = []
+            pend_sig = None
             for item in prefetch_to_device(train_loader, put_on_device):
+                if K <= 1:
+                    run_single(item)
+                    continue
+                # lax.scan-fused dispatch needs shape-uniform batches: under
+                # pad_mode='bucket' (or ragged debug padding) consecutive
+                # batches can land in different width buckets — flush those
+                # as single steps instead of crashing jnp.stack
+                sig = tuple(sorted((k, v.shape) for k, v in item[0].items()))
+                if pending and sig != pend_sig:
+                    for it in pending:
+                        run_single(it)
+                    pending = []
+                pend_sig = sig
                 pending.append(item)
-                if len(pending) == K and K > 1:
+                if len(pending) == K:
                     feats_k = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[0] for b in pending])
                     labels_k = jnp.stack([b[1] for b in pending])
                     w_k = jnp.stack([b[2] for b in pending])
@@ -558,16 +600,8 @@ class Trainer:
                     epoch_metrics.append(m)
                     global_step += K
                     pending = []
-            for feats, labels_d, w_d in pending:
-                rng = jax.random.fold_in(base_rng, global_step)
-                dispatch_begin()
-                params, opt_state, loss_state, m = train_step(
-                    params, opt_state, fds_state, loss_state, feats, labels_d, w_d,
-                    epoch_f, rng,
-                )
-                dispatch_end(m)
-                epoch_metrics.append(m)
-                global_step += 1
+            for it in pending:
+                run_single(it)
             if profiling and step_timer.times:
                 s = step_timer.summary()
                 logger.info(
@@ -670,6 +704,7 @@ class Trainer:
                         "wait": wait,
                         "best_score": float("nan") if best_score is None else best_score,
                     },
+                    loss_state=loss_state,
                 )
             if wait >= self.patience:
                 logger.warning("Early stopping at epoch: %d", epoch + 1)
@@ -681,10 +716,14 @@ class Trainer:
 
         save_checkpoint(dump_dir, fold, best_params, best_fds,
                         backend=self.checkpoint_backend)
-        # final predict with best weights
+        # final predict with best weights (reload from the just-written
+        # artifact — validates the checkpoint end-to-end); reuse the compiled
+        # eval_step and the cached/collated validation loader instead of
+        # paying a second eval trace+compile and re-tokenization
         y_preds, _, _ = self.predict(
             model, params, valid_dataset, loss_fn, activation_fn,
             dump_dir, fold, target_scaler, collate_fn, load_model=True,
+            eval_step=eval_step, loader=valid_loader,
         )
         return y_preds
 

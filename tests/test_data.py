@@ -294,3 +294,97 @@ class TestBucketCollation:
             assert n in (16, 32, 64)
             assert batch["input_ids"].shape[1] in (16, 32, 64)
         assert len(atom_shapes) <= 3
+
+
+class TestReviewFixes:
+    """Regression tests for the data-layer findings of the round-3 review."""
+
+    def test_log1p_inverse_roundtrips(self, tmp_path):
+        """log1p must inverse-transform with expm1 (the reference's
+        FunctionTransformer(np.log1p) has an identity inverse — predictions
+        stayed in log space)."""
+        from mmdti_tpu.data.scaler import TargetScaler
+
+        sc = TargetScaler("log1p", "regression")
+        y = np.array([[0.5], [2.0], [10.0]])
+        sc.fit(y, str(tmp_path))
+        z = sc.transform(y)
+        np.testing.assert_allclose(z, np.log1p(y), rtol=1e-6)
+        np.testing.assert_allclose(sc.inverse_transform(z), y, rtol=1e-6)
+
+    def test_missing_target_column_fills_only_missing(self, tmp_path):
+        """One absent target column must not overwrite the present ones with
+        the -1.0 sentinel (deliberate fix over the reference)."""
+        import pandas as pd
+
+        from mmdti_tpu.data.reader import MolDataReader
+
+        df = pd.DataFrame({"smiles": ["CCO", "CCN"], "A": [0.7, 0.3]})
+        p = str(tmp_path / "t.csv")
+        df.to_csv(p, index=False)
+        out = MolDataReader().read_data(
+            p, is_train=False, task="multilabel_regression",
+            target_cols=["A", "B"], smiles_col="smiles",
+        )
+        raw = np.asarray(out["raw_target"], dtype=float)
+        np.testing.assert_allclose(raw[:, 0], [0.7, 0.3])
+        np.testing.assert_allclose(raw[:, 1], [-1.0, -1.0])
+
+    def test_anomaly_clean_constant_target_keeps_rows(self, tmp_path):
+        """std=0 (constant target) must skip the 3-sigma filter instead of
+        dropping every row."""
+        import pandas as pd
+
+        from mmdti_tpu.data.reader import MolDataReader
+
+        df = pd.DataFrame({"smiles": ["CCO", "CCN", "CCS"], "y": [1.0, 1.0, 1.0]})
+        p = str(tmp_path / "t.csv")
+        df.to_csv(p, index=False)
+        out = MolDataReader().read_data(
+            p, is_train=True, task="regression", target_cols=["y"],
+            smiles_col="smiles", anomaly_clean=True,
+        )
+        assert len(out["raw_target"]) == 3
+
+    def test_train_refits_over_stale_scaler_artifact(self, tmp_path):
+        """Training into a dir holding a previous run's target_scaler.ss must
+        refit on the new data, not silently reuse the stale stats."""
+        import pandas as pd
+
+        from mmdti_tpu.data.hub import DataHub
+        from mmdti_tpu.data.scaler import TargetScaler
+
+        d = str(tmp_path)
+        stale = TargetScaler("standard", "regression")
+        stale.fit(np.linspace(100.0, 200.0, 50).reshape(-1, 1), d)  # old stats
+
+        df = pd.DataFrame({
+            "smiles": ["CCO", "CCN", "CCS", "CCC"], "y": [0.0, 1.0, 2.0, 3.0],
+        })
+        p = str(tmp_path / "new.csv")
+        df.to_csv(p, index=False)
+        hub = DataHub(data=p, is_train=True, save_path=d, task="regression",
+                      target_cols=["y"], smiles_col="smiles",
+                      target_normalize="standard")
+        t = np.asarray(hub.data["target"]).reshape(-1)
+        # refit on the new data: standardized targets are centered
+        assert abs(t.mean()) < 1e-6
+        assert abs(t.std() - 1.0) < 0.2
+
+    def test_raw_atoms_coords_input(self):
+        """atoms/coordinates input without a SMILES column must featurize via
+        transform_raw instead of crashing on data['smiles'][idx]."""
+        from mmdti_tpu.data.hub import DataHub
+
+        data = {
+            "atoms": [["C", "C", "O"], ["C", "N"]],
+            "coordinates": [np.random.RandomState(0).randn(3, 3),
+                            np.random.RandomState(1).randn(2, 3)],
+            "target": [0.5, 1.5],
+        }
+        hub = DataHub(data=data, is_train=True, task="regression",
+                      target_normalize="none", use_scaler=False)
+        feats = hub.data["unimol_input"]
+        assert len(feats) == 2
+        assert "smile" not in feats[0]
+        assert feats[0]["src_tokens"].shape[0] == 5  # BOS + 3 atoms + EOS

@@ -265,6 +265,95 @@ class TestResumeE2E:
         assert all(np.isfinite(r["val_loss"]) for r in hist)
 
 
+class TestLossStateResume:
+    def test_loss_state_roundtrips_through_train_state(self, tmp_path):
+        """GHM's EMA bin counts must survive save/load (a resume would
+        otherwise silently restart gradient-density weighting)."""
+        from mmdti_tpu.train.trainer import load_train_state, save_train_state
+
+        model = _tiny_model()
+        feats, _ = _batch(B=2)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, **feats, deterministic=True)["params"]
+        tx, _ = make_optimizer(1e-3, 100, 0.1, 1.0)
+        opt_state = tx.init(params)
+        loss_state = (jnp.arange(10.0), jnp.ones(()))
+        save_train_state(str(tmp_path), 0, params, opt_state, None, epoch=1,
+                         global_step=10, loss_state=loss_state)
+        _, _, _, _, _, extra = load_train_state(str(tmp_path), 0, tx.init(params))
+        leaves = extra["loss_state_leaves"]
+        assert leaves is not None and len(leaves) == 2
+        np.testing.assert_allclose(np.asarray(leaves[0]), np.arange(10.0))
+        restored = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(loss_state),
+            [jnp.asarray(x) for x in leaves],
+        )
+        np.testing.assert_allclose(np.asarray(restored[1]), 1.0)
+
+
+class TestPadModes:
+    def _csv(self, tmp_path, tag):
+        import pandas as pd
+
+        # alternate tiny (atom bucket 32) and large (bucket 48+) molecules so
+        # consecutive single-sample batches land in different width buckets
+        small = ["CCO", "CCN", "CCS", "CCC"]
+        big = ["CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+               "CCN(CC)C(=O)C1CN(C)C2Cc3c[nH]c4cccc(C2=C1)c34",
+               "CC(=O)Oc1ccccc1C(=O)OCCCCCC",
+               "CCCCCCCCCCCCCCCCCC"]
+        smiles = [m for pair in zip(small, big) for m in pair]
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({"smiles": smiles * 2, "y": rng.randn(16).astype(float)})
+        train_csv = str(tmp_path / f"train_{tag}.csv")
+        val_csv = str(tmp_path / f"val_{tag}.csv")
+        df.iloc[:12].to_csv(train_csv, index=False)
+        df.iloc[12:].to_csv(val_csv, index=False)
+        return train_csv, val_csv
+
+    def test_bucket_mode_with_fused_dispatch(self, tmp_path):
+        """pad_mode='bucket' + steps_per_call>1: mixed-width batches must be
+        flushed as single steps, not jnp.stack-crashed (review finding)."""
+        from mmdti_tpu import MolTrain
+        from tests.conftest import SMALL_ARCH
+
+        train_csv, val_csv = self._csv(tmp_path, "bucket")
+        exp = str(tmp_path / "exp_bucket")
+        m = MolTrain(
+            task="regression", epochs=1, batch_size=1, metrics="mse",
+            smiles_col="smiles", save_path=exp, target_cols=["y"], seed=0,
+            compute_dtype="float32", use_pallas=False, pad_mode="bucket",
+            steps_per_call=4, mesh_shape=(1, 1), **SMALL_ARCH,
+        )
+        m.fit(train_csv, val_csv)
+        assert np.isfinite(np.asarray(m.cv_pred)).all()
+
+    def test_fixed_mode_static_shapes(self, tmp_path):
+        """pad_mode='fixed' pads to config-wide constants (max_atoms+2,
+        smiles_pad_len) independent of the dataset."""
+        from mmdti_tpu import MolTrain
+        from tests.conftest import SMALL_ARCH
+
+        train_csv, val_csv = self._csv(tmp_path, "fixed")
+        exp = str(tmp_path / "exp_fixed")
+        m = MolTrain(
+            task="regression", epochs=1, batch_size=8, metrics="mse",
+            smiles_col="smiles", save_path=exp, target_cols=["y"], seed=0,
+            compute_dtype="float32", use_pallas=False, pad_mode="fixed",
+            max_atoms=62, smiles_pad_len=32, **SMALL_ARCH,
+        )
+        m.fit(train_csv, val_csv)
+        assert m.model.atom_pad == 64   # up(62 + 2) at pad_multiple 16
+        assert m.model.smiles_pad == 32
+        assert np.isfinite(np.asarray(m.cv_pred)).all()
+
+    def test_unknown_pad_mode_rejected(self):
+        from mmdti_tpu.data.batching import BatchCollator
+
+        with pytest.raises(ValueError):
+            BatchCollator(_FakeTokenizer(), pad_idx=1, pad_mode="nope")
+
+
 class _FakeTokenizer:
     """Deterministic stand-in for the SMILES tokenizer in collation tests."""
 
