@@ -183,9 +183,7 @@ class MolServe:
             compute_dtype=cfg.get("compute_dtype", "bfloat16"),
             use_pallas=use_pallas,
             unimol_overrides=unimol_overrides,
-            chemberta_overrides=dict(cfg["chemberta_overrides"])
-            if cfg.get("chemberta_overrides")
-            else None,
+            chemberta_overrides=self._chemberta_overrides(cfg) or None,
             crossmodal_overrides=dict(cfg["crossmodal_overrides"])
             if cfg.get("crossmodal_overrides")
             else None,
@@ -221,6 +219,19 @@ class MolServe:
             "MolServe ready: task=%s output_dim=%d pallas=%s backend=%s",
             self.task, self.output_dim, use_pallas, jax.default_backend(),
         )
+
+    @staticmethod
+    def _chemberta_overrides(cfg: Dict[str, Any]) -> Dict[str, Any]:
+        """Same dims as training: HF config.json fields (when chemberta_dir
+        is set) under the explicit overrides — mirrors NNModel's merge so
+        the checkpoint restores onto an identical param tree."""
+        overrides = dict(cfg.get("chemberta_overrides") or {})
+        cb_dir = cfg.get("chemberta_dir", "") or ""
+        if cb_dir and os.path.isdir(cb_dir):
+            from mmdti_tpu.models.convert import hf_chemberta_overrides
+
+            overrides = {**hf_chemberta_overrides(cb_dir), **overrides}
+        return overrides
 
     # ------------------------------------------------------------------
     def _featurize(self, smiles: List[str]) -> List[Dict[str, Any]]:

@@ -54,6 +54,8 @@ def fds_bucket_params(raw_values: np.ndarray, bucket_num: int, using_scale: bool
     (reference: fds.py:48-57)."""
     vals = np.asarray(raw_values, dtype=np.float64).reshape(-1)
     vals = vals[~np.isnan(vals)]
+    if vals.size == 0:
+        raise ValueError("FDS bucket fit: no finite training labels")
     if using_scale:
         mu, sd = vals.mean(), vals.std()
         vals = (vals - mu) / (sd if sd > 0 else 1.0)
@@ -61,6 +63,15 @@ def fds_bucket_params(raw_values: np.ndarray, bucket_num: int, using_scale: bool
         if s > 0:
             vals = vals[(vals > m - 3 * s) & (vals < m + 3 * s)]
     value_range = vals.max() - vals.min()
+    if not np.isfinite(value_range) or value_range <= 0.0:
+        # constant labels: bin_width 0 would turn _bucket_assignment into
+        # NaN/inf garbage indices with no error (the torch reference fails
+        # loudly here with a ZeroDivisionError) — FDS over a single value
+        # is meaningless, say so
+        raise ValueError(
+            "FDS bucket fit: training labels span zero range "
+            f"({vals.min()}); feature smoothing needs varying targets"
+        )
     return float(vals.min()), float(value_range / bucket_num) if bucket_num else 1.0
 
 

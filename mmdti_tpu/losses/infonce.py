@@ -17,7 +17,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-bert_normal_init = nn.initializers.normal  # stddev=0.02 passed at use site
+def bert_normal_init(stddev: float = 0.02):
+    """Same factory as models.layers.bert_normal_init (importing it here
+    would cycle: models -> losses.infonce -> models)."""
+    return nn.initializers.normal(stddev=stddev)
 
 
 def info_nce_loss(query: jnp.ndarray, positive: jnp.ndarray, temperature: float = 0.1) -> jnp.ndarray:

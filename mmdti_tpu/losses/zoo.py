@@ -31,14 +31,14 @@ def cross_entropy_loss(logits, target):
     return -jnp.take_along_axis(logp, target[:, None], axis=1).mean()
 
 
-def bce_with_logits(logits, target):
-    x = logits.astype(jnp.float32)
-    y = target.astype(jnp.float32)
-    return jnp.mean(jnp.maximum(x, 0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x))))
-
-
 def _bce_elementwise(x, y):
     return jnp.maximum(x, 0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def bce_with_logits(logits, target):
+    return jnp.mean(
+        _bce_elementwise(logits.astype(jnp.float32), target.astype(jnp.float32))
+    )
 
 
 def masked_bce_with_logits(logits, target):

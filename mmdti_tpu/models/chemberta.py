@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from mmdti_tpu.configs.architectures import ChemBertaConfig
 from mmdti_tpu.models.layers import bert_normal_init, get_activation_fn
-from mmdti_tpu.ops.attention import cross_attention_xla
+from mmdti_tpu.ops.attention import masked_attention
 
 
 def roberta_position_ids(input_ids: jnp.ndarray, padding_idx: int) -> jnp.ndarray:
@@ -71,31 +71,12 @@ class RobertaLayer(nn.Module):
             if (not deterministic and cfg.attention_probs_dropout_prob > 0)
             else None
         )
-        use_pallas = self.use_pallas
-        if use_pallas:
-            from mmdti_tpu.ops.pallas_attention import masked_attention_supported
-
-            use_pallas = masked_attention_supported(H, D, L, L)
-        if use_pallas:
-            from mmdti_tpu.ops.pallas_attention import masked_attention_pallas
-
-            # token-major fused kernel: softmax/dropout stay in VMEM and the
-            # backward recomputes the logits — no [B,H,L,L] tensor in HBM
-            ctx = masked_attention_pallas(
-                q_tok, k_tok, v_tok, mask_bias, num_heads=H,
-                dropout_rate=cfg.attention_probs_dropout_prob,
-                dropout_rng=rng, deterministic=deterministic,
-            )
-        else:
-            def heads(t):
-                return t.reshape(B, L, H, D).transpose(0, 2, 1, 3)
-
-            ctx = cross_attention_xla(
-                heads(q_tok), heads(k_tok), heads(v_tok), mask_bias,
-                dropout_rate=cfg.attention_probs_dropout_prob,
-                dropout_rng=rng, deterministic=deterministic,
-            )
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, E)
+        ctx = masked_attention(
+            q_tok, k_tok, v_tok, mask_bias, num_heads=H,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=rng, deterministic=deterministic,
+            use_pallas=self.use_pallas,
+        )
         ctx = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_output")(ctx)
         ctx = nn.Dropout(cfg.hidden_dropout_prob)(ctx, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_LayerNorm")(

@@ -154,7 +154,48 @@ def convert_hf_roberta(state_dict: Dict[str, Any], bert_params: Dict[str, Any]) 
         "ChemBERTa checkpoint: %d tensors loaded, %d missing, %d shape-mismatched",
         stats["loaded"], len(stats["missing"]), len(stats["shape"]),
     )
+    # Same loud-failure contract as the Uni-Mol converter: a zero-tensor
+    # load (every tensor shape-mismatch-skipped, e.g. hidden_size of the
+    # checkpoint differs from the built model) means the user's pretrained
+    # weights were silently discarded.
+    if sd and stats["loaded"] == 0:
+        sample = sorted(stats["shape"])[:5] or sorted(sd)[:5]
+        raise ValueError(
+            "ChemBERTa checkpoint ingestion loaded 0 tensors out of "
+            f"{len(sd)} checkpoint entries — dims or names do not match the "
+            f"built model (sample: {sample}). Pass matching "
+            "chemberta_overrides (or rely on the config.json auto-read) "
+            "instead of silently training from scratch."
+        )
     return bert_params
+
+
+def hf_chemberta_overrides(chemberta_dir: str) -> Dict[str, Any]:
+    """ChemBertaConfig fields read from an HF checkpoint's config.json.
+
+    Makes the dataclass docstring's promise real ("loading an HF checkpoint
+    overrides them from its config.json"): the built model's dims follow the
+    checkpoint so the tensor ingestion cannot shape-mismatch-skip everything.
+    Explicit user chemberta_overrides still win (merged on top by callers).
+    """
+    import json
+
+    path = os.path.join(chemberta_dir, "config.json")
+    if not os.path.isfile(path):
+        return {}
+    try:
+        with open(path, encoding="utf-8") as f:
+            hf = json.load(f)
+    except Exception as e:
+        logger.info("Unreadable HF config.json at %s (%s); using defaults.", path, e)
+        return {}
+    keys = (
+        "vocab_size", "hidden_size", "num_hidden_layers", "num_attention_heads",
+        "intermediate_size", "hidden_act", "hidden_dropout_prob",
+        "attention_probs_dropout_prob", "max_position_embeddings",
+        "type_vocab_size", "layer_norm_eps", "pad_token_id",
+    )
+    return {k: hf[k] for k in keys if k in hf}
 
 
 def load_pretrained(
@@ -175,7 +216,10 @@ def load_pretrained(
 
             logger.info("Loading ChemBERTa pretrained weights from %s", chemberta_dir)
             model = AutoModel.from_pretrained(chemberta_dir)
-            params["bert"] = convert_hf_roberta(model.state_dict(), params["bert"])
-        except Exception as e:
+        except Exception as e:  # environment problems (no transformers, bad dir)
             logger.info("ChemBERTa load failed (%s); training from scratch.", e)
+        else:
+            # a dimension/name mismatch raises out of the converter — that is
+            # a user error to surface, not an environment condition to swallow
+            params["bert"] = convert_hf_roberta(model.state_dict(), params["bert"])
     return params

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from mmdti_tpu.configs.architectures import CrossModalConfig
 from mmdti_tpu.models.layers import bert_normal_init, get_activation_fn
-from mmdti_tpu.ops.attention import cross_attention_xla
+from mmdti_tpu.ops.attention import masked_attention
 
 _MASK_FILL = -10000.0
 
@@ -42,29 +42,12 @@ class BertCrossAttentionLayer(nn.Module):
             if (not deterministic and cfg.attention_probs_dropout_prob > 0)
             else None
         )
-        use_pallas = self.use_pallas
-        if use_pallas:
-            from mmdti_tpu.ops.pallas_attention import masked_attention_supported
-
-            use_pallas = masked_attention_supported(H, D, N1, N2)
-        if use_pallas:
-            from mmdti_tpu.ops.pallas_attention import masked_attention_pallas
-
-            ctx = masked_attention_pallas(
-                q_tok, k_tok, v_tok, s2_mask_bias, num_heads=H,
-                dropout_rate=cfg.attention_probs_dropout_prob,
-                dropout_rng=rng, deterministic=deterministic,
-            )
-        else:
-            def heads(t):
-                return t.reshape(B, -1, H, D).transpose(0, 2, 1, 3)
-
-            ctx = cross_attention_xla(
-                heads(q_tok), heads(k_tok), heads(v_tok), s2_mask_bias,
-                dropout_rate=cfg.attention_probs_dropout_prob,
-                dropout_rng=rng, deterministic=deterministic,
-            )
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N1, E)
+        ctx = masked_attention(
+            q_tok, k_tok, v_tok, s2_mask_bias, num_heads=H,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=rng, deterministic=deterministic,
+            use_pallas=self.use_pallas,
+        )
 
         # self-output block: dense -> dropout -> LN(residual)
         ctx = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_output")(ctx)

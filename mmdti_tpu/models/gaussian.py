@@ -127,8 +127,15 @@ class NumericalEmbed(nn.Module):
         K = self.kernels
         mul = self.param("mul", nn.initializers.ones, (self.edge_types, 1))
         bias = self.param("bias", nn.initializers.zeros, (self.edge_types, 1))
+        # torch kaiming_normal_ on a [edge_types, K] parameter uses
+        # fan_in = size(1) = K with a plain normal (reference
+        # mm_model.py:286); jax's kaiming_normal() would take
+        # fan_in = shape[-2] = edge_types (~3x smaller std, truncated) —
+        # fan_out of the jax convention IS torch's fan_in here.
         w_edge = self.param(
-            "w_edge", nn.initializers.kaiming_normal(), (self.edge_types, K)
+            "w_edge",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (self.edge_types, K),
         )
         m = jnp.take(mul, edge_type, axis=0)
         b = jnp.take(bias, edge_type, axis=0)

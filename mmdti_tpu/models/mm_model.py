@@ -216,7 +216,12 @@ def build_model(
     # VMEM — half the chain's HBM traffic); fp32 stays the dataclass default
     # so the XLA oracle path and CPU tests keep exact numerics.
     ucfg = UniMolEncoderConfig(**(unimol_overrides or {}))
-    ccfg = ChemBertaConfig(vocab_size=smiles_vocab_size, **(chemberta_overrides or {}))
+    # dict-merge (not a positional kwarg) so overrides carrying vocab_size —
+    # e.g. fields copied from an HF config.json — replace instead of raising
+    # "multiple values for keyword argument"
+    ccfg = ChemBertaConfig(
+        **{"vocab_size": smiles_vocab_size, **(chemberta_overrides or {})}
+    )
     # fusion stack is configurable here (the reference hardcodes
     # crossmodal_config(), models/mm_model.py:362-377); hidden_size tracks
     # the encoder embed_dim unless explicitly overridden

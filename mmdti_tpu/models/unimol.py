@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from mmdti_tpu.configs.architectures import UniMolEncoderConfig
 from mmdti_tpu.models.layers import LayerNormFP32, bert_normal_init, get_activation_fn
-from mmdti_tpu.ops.attention import merge_padding_into_bias, pair_bias_attention_xla
+from mmdti_tpu.ops.attention import merge_padding_into_bias, pair_bias_attention
 
 
 class PairBiasEncoderLayer(nn.Module):
@@ -43,35 +43,12 @@ class PairBiasEncoderLayer(nn.Module):
 
         rng = self.make_rng("dropout") if (not deterministic and cfg.attention_dropout > 0) else None
         pair_dtype = jnp.dtype(cfg.pair_dtype)
-        use_pallas = self.use_pallas
-        if use_pallas:
-            from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
-
-            # long sequences exceed the kernel's VMEM envelope -> XLA path
-            # (remat already auto-enables there, train/nnmodel.py)
-            use_pallas = pallas_attention_supported(H, D, N)
-        if use_pallas:
-            from mmdti_tpu.ops.pallas_attention import pair_bias_attention_pallas
-
-            # token-major I/O: the kernel splits/merges heads in VMEM, so no
-            # [B,H,N,D] relayout ever reaches HBM
-            attn, new_bias = pair_bias_attention_pallas(
-                q, k, v, bias.astype(pair_dtype), num_heads=H,
-                dropout_rate=cfg.attention_dropout,
-                dropout_rng=rng, deterministic=deterministic,
-                pair_dtype=pair_dtype,
-            )
-        else:
-            def heads(t):
-                return t.reshape(B, N, H, D).transpose(0, 2, 1, 3)
-
-            attn, new_bias = pair_bias_attention_xla(
-                heads(q), heads(k), heads(v), bias,
-                dropout_rate=cfg.attention_dropout,
-                dropout_rng=rng, deterministic=deterministic,
-                pair_dtype=pair_dtype,
-            )
-            attn = attn.transpose(0, 2, 1, 3).reshape(B, N, E)
+        attn, new_bias = pair_bias_attention(
+            q, k, v, bias, num_heads=H,
+            dropout_rate=cfg.attention_dropout,
+            dropout_rng=rng, deterministic=deterministic,
+            pair_dtype=pair_dtype, use_pallas=self.use_pallas,
+        )
         attn = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="out_proj")(attn)
         x = residual + nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
 

@@ -94,3 +94,81 @@ def cross_attention_xla(
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Token-major dispatchers: one place owns the "fused Pallas when the flag is
+# on AND the shape fits its VMEM envelope, else XLA with a head reshape"
+# rule (it was previously copy-pasted into unimol.py / chemberta.py /
+# crossmodal.py, risking drift of the support check or call signature).
+# Inputs/outputs are token-major [B, L, E]; the [B,H,L,D] layout exists only
+# inside the XLA fallback (or in VMEM inside the kernels).
+# ---------------------------------------------------------------------------
+
+
+def _split_heads(t, H):
+    B, L, E = t.shape
+    return t.reshape(B, L, H, E // H).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(t):
+    B, H, L, D = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+
+
+def masked_attention(q_tok, k_tok, v_tok, mask_bias, *, num_heads,
+                     dropout_rate, dropout_rng, deterministic, use_pallas):
+    """[B,Lq,E] x [B,Lk,E] masked attention (ChemBERTa / cross-modal)."""
+    H = num_heads
+    D = q_tok.shape[-1] // H
+    if use_pallas:
+        from mmdti_tpu.ops.pallas_attention import masked_attention_supported
+
+        use_pallas = masked_attention_supported(H, D, q_tok.shape[1], k_tok.shape[1])
+    if use_pallas:
+        from mmdti_tpu.ops.pallas_attention import masked_attention_pallas
+
+        # fused kernel: softmax/dropout stay in VMEM and the backward
+        # recomputes the logits — no [B,H,Lq,Lk] tensor in HBM
+        return masked_attention_pallas(
+            q_tok, k_tok, v_tok, mask_bias, num_heads=H,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
+    ctx = cross_attention_xla(
+        _split_heads(q_tok, H), _split_heads(k_tok, H), _split_heads(v_tok, H),
+        mask_bias, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        deterministic=deterministic,
+    )
+    return _merge_heads(ctx)
+
+
+def pair_bias_attention(q_tok, k_tok, v_tok, bias, *, num_heads,
+                        dropout_rate, dropout_rng, deterministic,
+                        pair_dtype, use_pallas):
+    """[B,N,E] pair-bias attention returning (attn [B,N,E], new_bias)."""
+    H = num_heads
+    D = q_tok.shape[-1] // H
+    N = q_tok.shape[1]
+    if use_pallas:
+        from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
+
+        # long sequences exceed the kernel's VMEM envelope -> XLA path
+        # (remat already auto-enables there, train/nnmodel.py)
+        use_pallas = pallas_attention_supported(H, D, N)
+    if use_pallas:
+        from mmdti_tpu.ops.pallas_attention import pair_bias_attention_pallas
+
+        # token-major I/O: the kernel splits/merges heads in VMEM, so no
+        # [B,H,N,D] relayout ever reaches HBM
+        return pair_bias_attention_pallas(
+            q_tok, k_tok, v_tok, bias.astype(pair_dtype), num_heads=H,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic, pair_dtype=pair_dtype,
+        )
+    attn, new_bias = pair_bias_attention_xla(
+        _split_heads(q_tok, H), _split_heads(k_tok, H), _split_heads(v_tok, H),
+        bias, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        deterministic=deterministic, pair_dtype=pair_dtype,
+    )
+    return _merge_heads(attn), new_bias

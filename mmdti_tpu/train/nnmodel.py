@@ -201,6 +201,17 @@ class NNModel:
                 "bfloat16" if train_pallas else "float32"
             )
 
+        # HF checkpoint dims flow into the built model (ChemBertaConfig
+        # docstring contract); explicit user overrides win
+        chemberta_overrides = (
+            dict(params["chemberta_overrides"]) if params.get("chemberta_overrides") else {}
+        )
+        cb_dir = params.get("chemberta_dir", "") or ""
+        if cb_dir and os.path.isdir(cb_dir):
+            from mmdti_tpu.models.convert import hf_chemberta_overrides
+
+            chemberta_overrides = {**hf_chemberta_overrides(cb_dir), **chemberta_overrides}
+
         def _build(pallas_flag):
             return build_model(
                 output_dim=self.output_dim,
@@ -213,7 +224,7 @@ class NNModel:
                 compute_dtype=params.get("compute_dtype", "bfloat16"),
                 use_pallas=pallas_flag,
                 unimol_overrides=unimol_overrides or None,
-                chemberta_overrides=dict(params["chemberta_overrides"]) if params.get("chemberta_overrides") else None,
+                chemberta_overrides=chemberta_overrides or None,
                 crossmodal_overrides=dict(params["crossmodal_overrides"]) if params.get("crossmodal_overrides") else None,
             )
 

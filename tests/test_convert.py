@@ -201,3 +201,86 @@ def _leaves(tree):
             out.extend(_leaves(tree[k]))
         return out
     return [np.asarray(tree)]
+
+
+class TestChemBertaIngestionGuards:
+    def test_zero_loaded_is_loud(self):
+        """A dims mismatch that shape-skips every tensor must raise, not
+        silently train from scratch (the unimol converter's contract)."""
+        from mmdti_tpu.models.convert import convert_hf_roberta
+
+        import flax.linen as fnn
+        import jax
+
+        from mmdti_tpu.configs.architectures import ChemBertaConfig
+        from mmdti_tpu.models.chemberta import ChemBerta
+
+        cfg = ChemBertaConfig(vocab_size=60, hidden_size=32, num_hidden_layers=1,
+                              num_attention_heads=2, intermediate_size=64)
+        model = ChemBerta(cfg)
+        ids = np.ones((1, 8), np.int32)
+        params = model.init(jax.random.PRNGKey(0), ids, np.ones_like(ids),
+                            deterministic=True)["params"]
+        params = jax.tree.map(np.asarray, params)
+        # checkpoint claims hidden 16 — every tensor mismatches
+        sd = {
+            "embeddings.word_embeddings.weight": np.zeros((60, 16), np.float32),
+            "encoder.layer.0.attention.self.query.weight": np.zeros((16, 16), np.float32),
+            "encoder.layer.0.attention.self.query.bias": np.zeros((16,), np.float32),
+        }
+        with pytest.raises(ValueError, match="0 tensors"):
+            convert_hf_roberta(sd, params)
+
+    def test_hf_config_json_overrides(self, tmp_path):
+        """config.json dims flow into the built model; explicit user
+        overrides win."""
+        import json
+
+        from mmdti_tpu.models.convert import hf_chemberta_overrides
+
+        d = str(tmp_path)
+        with open(f"{d}/config.json", "w") as f:
+            json.dump({"vocab_size": 600, "hidden_size": 384,
+                       "num_hidden_layers": 3, "num_attention_heads": 6,
+                       "intermediate_size": 768, "model_type": "roberta",
+                       "bos_token_id": 0}, f)
+        ov = hf_chemberta_overrides(d)
+        assert ov["hidden_size"] == 384 and ov["num_hidden_layers"] == 3
+        assert "model_type" not in ov and "bos_token_id" not in ov
+        merged = {**ov, **{"num_hidden_layers": 1}}  # user override wins
+        assert merged["num_hidden_layers"] == 1
+        assert hf_chemberta_overrides(str(tmp_path / "nope")) == {}
+
+    def test_build_model_accepts_vocab_size_override(self):
+        """chemberta_overrides copied from an HF config.json contain
+        vocab_size — must override, not raise 'multiple values'."""
+        from mmdti_tpu.models.mm_model import build_model
+
+        m = build_model(
+            output_dim=1, atom_vocab_size=32, atom_pad_idx=1, task="regression",
+            smiles_vocab_size=600,
+            unimol_overrides={"encoder_layers": 1, "embed_dim": 32,
+                              "ffn_embed_dim": 64, "attention_heads": 4},
+            chemberta_overrides={"vocab_size": 77, "hidden_size": 32,
+                                 "num_hidden_layers": 1,
+                                 "num_attention_heads": 2,
+                                 "intermediate_size": 64},
+        )
+        assert m.chemberta_cfg.vocab_size == 77
+
+
+class TestNumericalEmbedInit:
+    def test_w_edge_std_matches_torch_kaiming(self):
+        """torch kaiming_normal_ on [edge_types, K] uses fan_in = K:
+        std = sqrt(2/K) (the jax default would use edge_types, ~3x smaller)."""
+        import jax
+
+        from mmdti_tpu.models.gaussian import NumericalEmbed
+
+        mod = NumericalEmbed(kernels=128, edge_types=1225)
+        dist = np.zeros((1, 4, 4), np.float32)
+        et = np.zeros((1, 4, 4), np.int32)
+        params = mod.init(jax.random.PRNGKey(0), dist, et)["params"]
+        std = float(np.asarray(params["w_edge"]).std())
+        expect = float(np.sqrt(2.0 / 128.0))
+        assert abs(std - expect) / expect < 0.1, (std, expect)

@@ -343,3 +343,22 @@ class TestTorchOracleInfoNCEModule:
         p = jax.tree.map(np.asarray, vars_["params"])
         assert p["proj_query_fc2"]["kernel"].shape == (16, 50)
         assert p["proj_positive_fc2"]["kernel"].shape == (16, 50)
+
+
+class TestFDSBucketGuards:
+    def test_constant_labels_fail_loudly(self):
+        """bin_width 0 would NaN every bucket assignment silently."""
+        import pytest as _pytest
+
+        from mmdti_tpu.losses.fds import fds_bucket_params
+
+        with _pytest.raises(ValueError, match="zero range"):
+            fds_bucket_params(np.full(20, 3.0), bucket_num=10)
+
+    def test_all_nan_labels_fail_loudly(self):
+        import pytest as _pytest
+
+        from mmdti_tpu.losses.fds import fds_bucket_params
+
+        with _pytest.raises(ValueError, match="no finite"):
+            fds_bucket_params(np.full(5, np.nan), bucket_num=10)
