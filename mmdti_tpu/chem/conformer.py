@@ -155,6 +155,13 @@ def _refine(coords: np.ndarray, terms, iters: int = 300) -> np.ndarray:
     return x.astype(np.float32)
 
 
+def _strip_hs(atoms: Sequence[str], coords: np.ndarray):
+    """Drop hydrogen rows (single definition for every provider's
+    remove_hs path)."""
+    idx = [i for i, a in enumerate(atoms) if a != "H"]
+    return [atoms[i] for i in idx], coords[idx]
+
+
 def builtin_smi2coords(
     smi: str, seed: int = 42, remove_hs: bool = False
 ) -> Tuple[List[str], np.ndarray]:
@@ -176,8 +183,7 @@ def builtin_smi2coords(
     except Exception:
         coords = _refine(coords, _build_terms(mol))
     if remove_hs:
-        idx = [i for i, a in enumerate(atoms) if a != "H"]
-        return [atoms[i] for i in idx], coords[idx]
+        return _strip_hs(atoms, coords)
     return atoms, coords
 
 
@@ -185,6 +191,11 @@ def rdkit_smi2coords(smi, seed=42, mode="fast", remove_hs=False):
     """RDKit provider: byte-compatible fallback ladder with the reference
     (/root/reference/data/conformer.py:102-154)."""
     mol = Chem.MolFromSmiles(smi)
+    if mol is None:
+        # catchable by serving / strict readers; the validity filter
+        # (is_valid_smiles) applies RDKit rules too, so filtered pipelines
+        # never reach this
+        raise SmilesError(f"RDKit could not parse SMILES: {smi!r}")
     mol = AllChem.AddHs(mol)
     atoms = [atom.GetSymbol() for atom in mol.GetAtoms()]
     assert len(atoms) > 0, f"SMILES parsed to an empty molecule: {smi}"
@@ -212,8 +223,7 @@ def rdkit_smi2coords(smi, seed=42, mode="fast", remove_hs=False):
         coordinates = np.zeros((len(atoms), 3), dtype=np.float32)
     assert len(atoms) == len(coordinates), f"atom/coordinate count mismatch for {smi}"
     if remove_hs:
-        idx = [i for i, a in enumerate(atoms) if a != "H"]
-        return [atoms[i] for i in idx], coordinates[idx]
+        return _strip_hs(atoms, coordinates)
     return atoms, coordinates
 
 
@@ -230,8 +240,7 @@ def smi2coords(smi: str, seed: int = 42, mode: str = "fast", remove_hs: bool = F
         atoms = [a.symbol for a in mol.atoms]
         coords = np.zeros((len(atoms), 3), dtype=np.float32)
         if remove_hs:
-            idx = [i for i, a in enumerate(atoms) if a != "H"]
-            return [atoms[i] for i in idx], coords[idx]
+            return _strip_hs(atoms, coords)
         return atoms, coords
 
 
@@ -240,8 +249,7 @@ def inner_coords(atoms: Sequence[str], coordinates, remove_hs: bool = True):
     assert len(atoms) == len(coordinates), "atom/coordinate count mismatch"
     coordinates = np.array(coordinates, dtype=np.float32)
     if remove_hs:
-        idx = [i for i, a in enumerate(atoms) if a != "H"]
-        return [atoms[i] for i in idx], coordinates[idx]
+        return _strip_hs(list(atoms), coordinates)
     return list(atoms), coordinates
 
 

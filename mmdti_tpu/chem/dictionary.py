@@ -75,12 +75,16 @@ class Dictionary:
     def load(cls, path: Optional[str] = None) -> "Dictionary":
         """Load a dictionary from a unicore-format text file.
 
-        Each non-empty line is ``symbol [count]``.  Falls back to the packaged
-        default atom vocabulary when ``path`` is None or missing.
+        Each non-empty line is ``symbol [count]``.  ``path=None`` loads the
+        packaged default atom vocabulary; an explicit path that does not
+        exist raises (silently substituting the default would shift every
+        atom token index — garbage predictions with no error).
         """
         d = cls()
-        if path is None or not os.path.exists(path):
+        if path is None:
             path = DEFAULT_DICT
+        elif not os.path.exists(path):
+            raise FileNotFoundError(f"atom dictionary not found: {path!r}")
         with open(path, "r", encoding="utf-8") as f:
             for line in f:
                 line = line.strip()

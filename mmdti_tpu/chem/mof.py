@@ -93,18 +93,31 @@ def parse_cif(path: str) -> Dict:
             if any(h.startswith("_atom_site") for h in headers):
                 cols = {h: idx for idx, h in enumerate(headers)}
                 sym_col = cols.get("_atom_site_type_symbol", cols.get("_atom_site_label"))
-                fx = cols.get("_atom_site_fract_x")
-                cx = cols.get("_atom_site_Cartn_x")
+                if sym_col is None:
+                    raise ValueError(
+                        f"CIF atom_site loop has neither type_symbol nor label: {path}"
+                    )
+                # x/y/z columns by header (CIF does not require them to be
+                # adjacent — an interleaved column like occupancy would
+                # silently become the y coordinate under a +1/+2 assumption)
+                fcols = [cols.get(f"_atom_site_fract_{ax}") for ax in "xyz"]
+                ccols = [cols.get(f"_atom_site_Cartn_{ax}") for ax in "xyz"]
+                have_frac = all(c is not None for c in fcols)
+                have_cart = all(c is not None for c in ccols)
+                if not have_frac and not have_cart:
+                    raise ValueError(
+                        f"CIF atom_site loop has no complete fract_/Cartn_ xyz columns: {path}"
+                    )
                 while j < len(lines) and lines[j] and not lines[j].startswith(("loop_", "_", "#", "data_")):
                     toks = lines[j].split()
                     if len(toks) >= len(headers):
                         raw = toks[sym_col]
                         sym = re.sub(r"[\d+\-']+.*$", "", raw)
                         atoms.append(sym)
-                        if fx is not None:
-                            frac.append([_cif_number(toks[fx + k]) for k in range(3)])
-                        elif cx is not None:
-                            cart.append([_cif_number(toks[cx + k]) for k in range(3)])
+                        if have_frac:
+                            frac.append([_cif_number(toks[c]) for c in fcols])
+                        elif have_cart:
+                            cart.append([_cif_number(toks[c]) for c in ccols])
                     j += 1
                 i = j
                 if atoms:

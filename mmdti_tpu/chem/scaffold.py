@@ -20,6 +20,9 @@ import hashlib
 from typing import Set
 
 from mmdti_tpu.chem.smiles import Molecule, SmilesError, parse_smiles
+from mmdti_tpu.utils.logger import logger
+
+_WARNED_CHIRALITY = False
 
 try:  # optional exact-RDKit path
     from rdkit.Chem.Scaffolds import MurckoScaffold  # type: ignore
@@ -58,7 +61,12 @@ def _murcko_atom_set(mol: Molecule) -> Set[int]:
 
 
 def _wl_canonical_key(mol: Molecule, atom_set: Set[int], include_chirality: bool = True) -> str:
-    """Canonical Weisfeiler-Lehman refinement hash of the induced subgraph."""
+    """Canonical Weisfeiler-Lehman refinement hash of the induced subgraph.
+
+    include_chirality is accepted for API symmetry but has no effect here:
+    the built-in parser does not retain @/@@ marks, so enantiomeric
+    scaffolds share one key (RDKit with includeChirality=True keeps them
+    apart — documented deviation, warned once in murcko_scaffold)."""
     if not atom_set:
         return ""
     idxs = sorted(atom_set)
@@ -88,10 +96,14 @@ def murcko_scaffold(smiles: str, include_chirality: bool = True) -> str:
     """Scaffold grouping key for a SMILES string.
 
     RDKit present  -> RDKit's canonical scaffold SMILES (exact reference parity).
-    RDKit absent   -> canonical WL key of the scaffold graph ('' for acyclic).
+    RDKit absent   -> canonical WL key of the scaffold graph ('' for acyclic);
+                      chirality-blind (stereo marks are not retained), so
+                      enantiomeric scaffolds merge into one group — a
+                      grouping deviation from includeChirality=True splits.
     On any failure -> the input SMILES (matches reference smi2scaffold except
     clause, /root/reference/data/datareader.py:164-167).
     """
+    global _WARNED_CHIRALITY
     if _HAVE_RDKIT:
         try:
             return MurckoScaffold.MurckoScaffoldSmiles(
@@ -100,6 +112,12 @@ def murcko_scaffold(smiles: str, include_chirality: bool = True) -> str:
         except Exception:
             return smiles
     try:
+        if include_chirality and not _WARNED_CHIRALITY and ("@" in smiles):
+            _WARNED_CHIRALITY = True
+            logger.warning(
+                "Built-in scaffold keys are chirality-blind (RDKit absent): "
+                "enantiomeric scaffolds will share one split group."
+            )
         mol = parse_smiles(smiles)
         return _wl_canonical_key(mol, _murcko_atom_set(mol), include_chirality)
     except SmilesError:

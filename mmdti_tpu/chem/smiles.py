@@ -118,18 +118,22 @@ class Molecule:
             return 0
         bond_sum = sum(b.order for b in self.atom_bonds(i))
         if a.aromatic:
-            # an aromatic atom written lowercase without brackets gets H only
-            # to complete the lowest standard valence
+            # Divalent aromatic heteroatoms (o, s, se: lowest valence 2) have
+            # their valence filled by the two ring bonds — never an implicit
+            # H (the 1.5-per-bond rule below would push thiophene's s to
+            # "need 3" and hand it a phantom H that RDKit does not add).
+            if _VALENCES[sym][0] <= 2:
+                return 0
+            # other lowercase aromatic atoms get H only to complete the
+            # lowest standard valence
             bond_sum = max(bond_sum, 1.5 * self.degree(i))
-        # Charge adjusts target valence (common-case rule: N+/P+ gain a slot,
-        # O-/S-/C- lose one).
-        adjust = a.charge if sym in ("N", "P", "B") else (-abs(a.charge) if a.charge else 0)
+        # NOTE: charged atoms always come from bracket notation, which sets
+        # explicit_h (early return above) — no charge-valence rule is needed
+        # on this path.
         need = bond_sum
         for v in _VALENCES[sym]:
-            veff = v + adjust
-            if veff + 1e-9 >= need:
-                h = int(round(veff - need))
-                return max(h, 0)
+            if v + 1e-9 >= need:
+                return max(int(round(v - need)), 0)
         return 0
 
     def total_h(self, i: int) -> int:
@@ -328,6 +332,8 @@ def parse_smiles(smiles: str) -> Molecule:
 
     def attach(idx: int):
         nonlocal prev, pending_bond
+        if prev is None and pending_bond is not None:
+            raise SmilesError("bond symbol with no preceding atom")
         if prev is not None:
             a_prev = mol.atoms[prev]
             a_new = mol.atoms[idx]
@@ -371,12 +377,17 @@ def parse_smiles(smiles: str) -> Molecule:
         elif c == "(":
             if prev is None:
                 raise SmilesError("branch before any atom")
-            branch_stack.append((prev, pending_bond))
-            pending_bond = None
+            if pending_bond is not None:
+                # 'C=(C)C' — RDKit rejects a bond symbol before a branch
+                # open; dropping it would silently change the structure
+                raise SmilesError("bond symbol before '('")
+            branch_stack.append((prev, None))
             i += 1
         elif c == ")":
             if not branch_stack:
                 raise SmilesError("unmatched ')'")
+            if pending_bond is not None:
+                raise SmilesError("dangling bond symbol before ')'")
             prev, pending_bond = branch_stack.pop()
             pending_bond = None
             i += 1
@@ -410,14 +421,17 @@ def parse_smiles(smiles: str) -> Molecule:
                 ring_map[key] = (prev, pending_bond)
                 pending_bond = None
         elif c == ".":
+            if pending_bond is not None:
+                raise SmilesError("dangling bond symbol before '.'")
             prev = None
-            pending_bond = None
             i += 1
         elif c in " \t":
             break  # SMILES ends at whitespace (title section)
         else:
             raise SmilesError(f"unexpected character {c!r} at {i}")
 
+    if pending_bond is not None:
+        raise SmilesError("dangling bond symbol at end of SMILES")
     if branch_stack:
         raise SmilesError("unmatched '('")
     if ring_map:
@@ -429,10 +443,17 @@ def parse_smiles(smiles: str) -> Molecule:
 
 
 def is_valid_smiles(smiles: str) -> bool:
+    """Validity as the FEATURIZER will see it: when RDKit is installed the
+    conformer provider is RDKit, so the filter must apply RDKit's stricter
+    rules (e.g. kekulization) too — otherwise a string this parser accepts
+    sails past the reader's filter and crashes mid-featurization."""
     try:
         parse_smiles(smiles)
-        return True
-    except SmilesError:
-        return False
     except Exception:
         return False
+    try:
+        from rdkit import Chem  # type: ignore
+
+        return Chem.MolFromSmiles(smiles) is not None
+    except ImportError:
+        return True

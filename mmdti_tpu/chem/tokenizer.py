@@ -91,7 +91,10 @@ class SmilesTokenizer:
         return toks
 
     def encode(self, smiles: str, truncation: bool = True) -> List[int]:
-        cached = self._encode_cache.get(smiles)
+        # truncation is part of the key: a cached untruncated encoding must
+        # not answer a truncation=True call with ids past max_len
+        key = (smiles, truncation)
+        cached = self._encode_cache.get(key)
         if cached is not None:
             return cached
         ids = [self.vocab.get(t, self.unk_token_id) for t in self.tokenize(smiles)]
@@ -99,7 +102,7 @@ class SmilesTokenizer:
             ids = ids[: self.max_len - 2]
         out = [self.bos_token_id] + ids + [self.eos_token_id]
         if len(self._encode_cache) < 1_000_000:
-            self._encode_cache[smiles] = out
+            self._encode_cache[key] = out
         return out
 
     def __call__(

@@ -36,6 +36,10 @@ def _featurizer_fingerprint(params: Dict[str, Any]) -> Dict[str, Any]:
     d = Dictionary.load(dict_path)
     d.add_symbol("[MASK]", is_special=True)
     return {
+        # bumped when the featurization CODE changes output for the same
+        # knobs (rev 2: divalent-aromatic implicit-H fix — thiophene/furan
+        # molecules featurize differently, old caches must regenerate)
+        "featurizer_rev": 2,
         "seed": params.get("seed", 42),
         "max_atoms": params.get("max_atoms", 256),
         "data_type": params.get("data_type", "molecule"),

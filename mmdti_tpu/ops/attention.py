@@ -121,6 +121,11 @@ def masked_attention(q_tok, k_tok, v_tok, mask_bias, *, num_heads,
     """[B,Lq,E] x [B,Lk,E] masked attention (ChemBERTa / cross-modal)."""
     H = num_heads
     D = q_tok.shape[-1] // H
+    if use_pallas and mask_bias.ndim == 4 and mask_bias.shape[1] not in (1,):
+        # the fused kernel broadcasts ONE mask across heads (it reads
+        # mask_bias[:, 0]); a per-head additive mask must take the XLA path
+        # or heads 1..H-1 silently get head 0's mask
+        use_pallas = False
     if use_pallas:
         from mmdti_tpu.ops.pallas_attention import masked_attention_supported
 

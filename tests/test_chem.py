@@ -202,6 +202,49 @@ class TestParserEdgeCases:
         orders = sorted(b.order for b in mol.bonds)
         assert orders == [1.0, 1.0, 2.0]
 
+    def test_divalent_aromatic_heteroatoms_get_no_h(self):
+        """Thiophene's s / furan's o have their valence filled by the two
+        ring bonds — RDKit adds no H there (the old 1.5-per-bond rule handed
+        thiophene a phantom H: 10 atoms instead of 9)."""
+        from mmdti_tpu.chem import parse_smiles
+
+        assert parse_smiles("c1ccsc1").add_hydrogens().num_atoms() == 9
+        assert parse_smiles("c1ccoc1").add_hydrogens().num_atoms() == 9
+        # aromatic C/N rules unchanged
+        assert parse_smiles("c1ccccc1").add_hydrogens().num_atoms() == 12
+        assert parse_smiles("c1ccncc1").add_hydrogens().num_atoms() == 11
+
+    def test_dangling_bond_symbols_rejected(self):
+        """RDKit rejects all of these; silently dropping the bond symbol
+        (the old behavior for 'C=(C)C') produced a wrong structure."""
+        import pytest as _pytest
+
+        from mmdti_tpu.chem import parse_smiles
+        from mmdti_tpu.chem.smiles import SmilesError
+
+        for bad in ("C=", "C=(C)C", "C.=C", "=CC", "C(C=)O"):
+            with _pytest.raises(SmilesError):
+                parse_smiles(bad)
+        # ring-closure bond orders still parse
+        m = parse_smiles("C=1CC=1")
+        assert sorted(b.order for b in m.bonds) == [1.0, 1.0, 2.0]
+
+    def test_tokenizer_cache_respects_truncation(self):
+        from mmdti_tpu.chem.tokenizer import SmilesTokenizer
+
+        tok = SmilesTokenizer(max_len=8)
+        long = "C" * 40
+        full = tok.encode(long, truncation=False)
+        trunc = tok.encode(long, truncation=True)
+        assert len(full) > 8 and len(trunc) == 8
+
+    def test_explicit_missing_dict_path_raises(self, tmp_path):
+        from mmdti_tpu.chem.dictionary import Dictionary
+
+        with pytest.raises(FileNotFoundError):
+            Dictionary.load(str(tmp_path / "nope.dict.txt"))
+        assert len(Dictionary.load(None)) > 0  # default path still works
+
 
 class TestParserFuzz:
     def test_never_crashes_only_smileserror(self):

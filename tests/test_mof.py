@@ -44,6 +44,31 @@ class TestCIF:
         np.testing.assert_allclose(out["volume"], 1000.0, rtol=1e-5)
         np.testing.assert_allclose(out["coordinates"][1], [2.5, 2.5, 2.5], atol=1e-4)
 
+    def test_parse_interleaved_columns(self, tmp_path):
+        """x/y/z columns are read by header, not fx+1/fx+2 — an occupancy
+        column between them must not become the y coordinate."""
+        cif = (
+            "data_test\n_cell_length_a 10.0\n_cell_length_b 10.0\n"
+            "_cell_length_c 10.0\n_cell_angle_alpha 90.0\n_cell_angle_beta 90.0\n"
+            "_cell_angle_gamma 90.0\nloop_\n_atom_site_type_symbol\n"
+            "_atom_site_fract_x\n_atom_site_occupancy\n_atom_site_fract_y\n"
+            "_atom_site_fract_z\nZn 0.1 1.0 0.2 0.3\n"
+        )
+        p = tmp_path / "inter.cif"
+        p.write_text(cif)
+        out = parse_cif(str(p))
+        np.testing.assert_allclose(out["coordinates"][0], [1.0, 2.0, 3.0], atol=1e-4)
+
+    def test_parse_missing_columns_raise(self, tmp_path):
+        bad = (
+            "data_test\nloop_\n_atom_site_occupancy\n_atom_site_fract_x\n"
+            "1.0 0.1\n"
+        )
+        p = tmp_path / "bad.cif"
+        p.write_text(bad)
+        with pytest.raises(ValueError):
+            parse_cif(str(p))
+
     def test_reader_with_gas(self, cif_path):
         reader = MOFReader()
         dd = reader.read_with_gas(cif_path, "CO2")
