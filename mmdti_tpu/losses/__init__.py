@@ -7,6 +7,7 @@ from mmdti_tpu.losses.contrastive import (  # noqa: F401
 )
 from mmdti_tpu.losses.fds import (  # noqa: F401
     fds_bucket_params,
+    fds_epoch_update,
     fds_kernel_window,
     fds_smooth,
     fds_update_last_epoch_stats,

@@ -21,6 +21,7 @@ Semantics preserved:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -174,6 +175,33 @@ def fds_update_running_stats(
     out["running_mean"] = jnp.where(present[:, None], new_mean, state["running_mean"])
     out["running_var"] = jnp.where(present[:, None], new_var, state["running_var"])
     return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fds_epoch_update(
+    state: Dict[str, jnp.ndarray],
+    features: jnp.ndarray,   # [Ntrain, F] full-epoch features (may be sharded)
+    labels: jnp.ndarray,
+    epoch,
+    min_value: float,
+    bin_width: float,
+    kernel_window,
+    cfg: FDSConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Per-epoch FDS update (last-epoch roll + running-stats EMA) as ONE
+    compiled program.
+
+    Deliberately jitted as a unit: dispatched eagerly this is ~15 separate
+    multi-device programs, and on hosts with more virtual devices than cores
+    the XLA:CPU cross-program collective rendezvous can starve and F-abort
+    the whole process (rendezvous.cc "Termination timeout ... Exiting to
+    ensure a consistent program state").  One program also means one dispatch
+    through the TPU tunnel instead of fifteen.
+    """
+    state = fds_update_last_epoch_stats(state, epoch, kernel_window)
+    return fds_update_running_stats(
+        state, features, labels, epoch, min_value, bin_width, cfg
+    )
 
 
 def fds_update_last_epoch_stats(

@@ -121,6 +121,10 @@ def masked_attention(q_tok, k_tok, v_tok, mask_bias, *, num_heads,
     """[B,Lq,E] x [B,Lk,E] masked attention (ChemBERTa / cross-modal)."""
     H = num_heads
     D = q_tok.shape[-1] // H
+    if use_pallas and mask_bias is None:
+        # the fused kernel requires a mask; the XLA path treats None as
+        # "no mask" — keep that part of the contract available
+        use_pallas = False
     if use_pallas and mask_bias.ndim == 4 and mask_bias.shape[1] not in (1,):
         # the fused kernel broadcasts ONE mask across heads (it reads
         # mask_bias[:, 0]); a per-head additive mask must take the XLA path

@@ -38,8 +38,11 @@ class Splitter:
         try:
             return self.splitter.split(data, target, group)
         except Exception as e:
+            # keep the real diagnosis visible (missing groups, n_splits >
+            # n_samples, non-numeric stratify targets, ...) instead of
+            # mislabelling a known method as unknown
             raise ValueError(
-                f"Unknown splitter method: {self.n_splits}fold - {self.method}"
+                f"{self.n_splits}fold_{self.method} split failed: {e}"
             ) from e
 
 

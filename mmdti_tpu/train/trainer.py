@@ -35,10 +35,7 @@ import optax
 from mmdti_tpu.data.batching import CachedLoader, MolDataLoader
 from mmdti_tpu.data.pipeline import prefetch_to_device
 from mmdti_tpu.losses.contrastive import CT_REGISTRY
-from mmdti_tpu.losses.fds import (
-    fds_update_last_epoch_stats,
-    fds_update_running_stats,
-)
+from mmdti_tpu.losses.fds import fds_epoch_update
 from mmdti_tpu.losses.registry import target_is_integer
 from mmdti_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
 from mmdti_tpu.train.optim import make_optimizer
@@ -250,6 +247,19 @@ class Trainer:
         self.mesh = params.get("mesh", None) or make_mesh(
             tuple(mesh_shape) if mesh_shape else None
         )
+        # every batch (train via drop_last, val/predict via _pad_to_batch)
+        # has exactly batch_size rows, and those rows shard over the data
+        # axis — a non-divisible batch_size would fail device_put outright
+        from mmdti_tpu.parallel.mesh import DATA_AXIS
+
+        data_par = self.mesh.shape[DATA_AXIS]
+        if self.batch_size % data_par:
+            rounded = -(-self.batch_size // data_par) * data_par
+            logger.warning(
+                "batch_size %d is not divisible by the %d-way data mesh "
+                "axis; rounding up to %d", self.batch_size, data_par, rounded,
+            )
+            self.batch_size = rounded
         self._compiled: Dict[str, Callable] = {}
 
     def _place_params(self, tree):
@@ -636,12 +646,13 @@ class Trainer:
                     label_list.append(jnp.asarray(labels, jnp.float32))
                 all_feats = jnp.concatenate(feats_list, axis=0)
                 all_labels = jnp.concatenate(label_list, axis=0)
-                fds_state = fds_update_last_epoch_stats(
-                    fds_state, jnp.asarray(epoch, jnp.float32), fds_kernel
-                )
-                fds_state = fds_update_running_stats(
-                    fds_state, all_feats, all_labels, jnp.asarray(epoch, jnp.float32),
-                    fds_bucket[0], fds_bucket[1], model.fds_cfg,
+                # single compiled program (see fds_epoch_update docstring:
+                # eager per-op dispatch can starve the XLA:CPU collective
+                # rendezvous on virtual-device meshes and abort the process)
+                fds_state = fds_epoch_update(
+                    fds_state, all_feats, all_labels,
+                    jnp.asarray(epoch, jnp.float32),
+                    fds_bucket[0], fds_bucket[1], fds_kernel, model.fds_cfg,
                 )
                 logger.info("FDS stats updated on device for epoch %d", epoch)
 

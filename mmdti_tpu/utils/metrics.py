@@ -169,8 +169,11 @@ class Metrics:
             for name in self.metric_names:
                 spec = self.registry[name]
                 pred = (predict > threshold).astype(int) if spec.needs_binarized else predict
+                # pass labels as float: masked_columnwise_metric masks NaN /
+                # sentinel / non-{0,1} rows itself, and an int cast of NaN is
+                # undefined (0 on aarch64 saturating casts -> a fake negative)
                 out[name] = masked_columnwise_metric(
-                    label.astype(int), pred, spec.fn, nan_value, classification=True
+                    label, pred, spec.fn, nan_value, classification=True
                 )
             return out
         if self.task == "multiclass":

@@ -56,5 +56,8 @@ def bucket_length(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-DEFAULT_ATOM_BUCKETS = (32, 48, 64, 96, 128, 160, 192, 224, 258)
+# Top bucket holds max_atoms+2=258 tokens rounded up to a multiple of 8 so
+# the fused Pallas kernels (which require seq_len % 8 == 0) stay engaged for
+# the largest molecules instead of silently falling back to the XLA path.
+DEFAULT_ATOM_BUCKETS = (32, 48, 64, 96, 128, 160, 192, 224, 264)
 DEFAULT_SMILES_BUCKETS = (32, 48, 64, 96, 128, 192, 256, 384, 512)

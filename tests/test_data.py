@@ -268,6 +268,18 @@ class TestSplits:
         with pytest.raises(ValueError):
             Splitter("5fold_bogus")
 
+    def test_split_error_keeps_real_diagnosis(self):
+        """A failure inside a KNOWN method (e.g. scaffold split without
+        groups) must surface sklearn's actual complaint, not a misleading
+        'unknown method' label."""
+        df = self._df()
+        sp = Splitter("5fold_scaffold", seed=42)
+        with pytest.raises(ValueError) as ei:
+            list(sp.split(df))  # no group= -> GroupKFold complains
+        msg = str(ei.value)
+        assert "Unknown" not in msg
+        assert "groups" in msg
+
 
 class TestBucketCollation:
     def test_bucket_shapes_limited(self):

@@ -220,6 +220,30 @@ class TestFDS:
         out1 = fds_smooth(state, feats, labels, jnp.asarray(1.0), 0.0, 1.0, cfg)
         np.testing.assert_allclose(np.asarray(out1), 0.5, atol=1e-6)
 
+    def test_epoch_update_matches_sequential(self):
+        """The single-program fds_epoch_update (one jit dispatch per epoch,
+        collective-rendezvous-safe on virtual-device meshes) must equal the
+        sequential last-epoch-roll + running-stats composition."""
+        from mmdti_tpu.losses.fds import fds_epoch_update
+
+        cfg = self._cfg()
+        state = init_fds_state(cfg)
+        rng = np.random.RandomState(1)
+        win = fds_kernel_window(cfg.kernel, cfg.ks, cfg.sigma)
+        feats = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+        labels = jnp.asarray(rng.uniform(0, 5, 16).astype(np.float32))
+        seq = state
+        fused = state
+        for epoch in (0.0, 1.0, 2.0):
+            e = jnp.asarray(epoch)
+            seq = fds_update_last_epoch_stats(seq, e, win)
+            seq = fds_update_running_stats(seq, feats, labels, e, 0.0, 1.0, cfg)
+            fused = fds_epoch_update(fused, feats, labels, e, 0.0, 1.0, win, cfg)
+        for k in seq:
+            np.testing.assert_allclose(
+                np.asarray(seq[k]), np.asarray(fused[k]), atol=1e-6, err_msg=k
+            )
+
     def test_kernel_smoothing_epoch_gate(self):
         cfg = self._cfg()
         state = init_fds_state(cfg)

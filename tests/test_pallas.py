@@ -420,6 +420,37 @@ class TestSupportedShapes:
                             full_row_cap=_MASKED_ELEM_CAP)
         assert pol == (8, 256)
 
+    def test_dispatcher_handles_none_mask_with_pallas_flag(self):
+        """masked_attention(mask_bias=None, use_pallas=True) must fall back
+        to the XLA path (which treats None as 'no mask'), not crash on the
+        shape guard."""
+        from mmdti_tpu.ops.attention import masked_attention
+
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+        kwargs = dict(num_heads=4, dropout_rate=0.0, dropout_rng=None,
+                      deterministic=True)
+        got = masked_attention(q, k, v, None, use_pallas=True, **kwargs)
+        want = masked_attention(q, k, v, None, use_pallas=False, **kwargs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_default_buckets_keep_fused_kernels_engaged(self):
+        """Every default atom bucket must satisfy the fused kernels' seq%8
+        contract — a misaligned top bucket silently drops the largest
+        molecules onto the slower XLA path."""
+        from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
+        from mmdti_tpu.ops.pallas_gbf import gbf_fused_supported
+        from mmdti_tpu.utils.padding import DEFAULT_ATOM_BUCKETS
+
+        assert all(b % 8 == 0 for b in DEFAULT_ATOM_BUCKETS)
+        # top bucket must still hold max_atoms+2 = 258 tokens
+        assert DEFAULT_ATOM_BUCKETS[-1] >= 258
+        for b in DEFAULT_ATOM_BUCKETS:
+            assert pallas_attention_supported(64, 8, b), b
+            assert gbf_fused_supported(b, 128, 128, 64, "gelu"), b
+
     def test_layer_falls_back_to_xla_on_long_sequences(self):
         """use_pallas=True at unsupported N must silently take the XLA path
         (identical numerics to use_pallas=False)."""

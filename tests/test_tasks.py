@@ -89,6 +89,26 @@ class TestSingleClassColumns:
         score = Metrics("classification", "auc").cal_metric(y, p)
         assert np.isnan(score["auc"])
 
+    def test_nan_labels_are_masked_not_cast(self):
+        """NaN classification labels must be excluded, never int-cast (the
+        cast is platform-UB: NaN becomes 0 on aarch64 saturating casts and
+        would count as a fake negative)."""
+        from mmdti_tpu.utils.metrics import Metrics
+
+        rng = np.random.RandomState(2)
+        y = rng.randint(0, 2, size=(40, 1)).astype(float)
+        p = np.clip(y * 0.6 + 0.2 * rng.rand(40, 1), 0.01, 0.99)
+        ref = Metrics("classification", "auc").cal_metric(y, p)
+        # NaN half the rows with adversarial predictions on them: if the NaNs
+        # leaked into the metric as class 0/1, the score would move
+        y_nan, p_nan = y.copy(), p.copy()
+        y_nan[::2] = np.nan
+        p_nan[::2] = 0.5
+        got = Metrics("classification", "auc").cal_metric(y[1::2], p[1::2])
+        got_nan = Metrics("classification", "auc").cal_metric(y_nan, p_nan)
+        np.testing.assert_allclose(got_nan["auc"], got["auc"])
+        assert not np.isnan(got_nan["auc"]) or np.isnan(ref["auc"])
+
 
 class TestMulticlass:
     def test_fit_predict(self, tmp_path):
