@@ -304,19 +304,29 @@ def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int,
         elem_cap = _PAIR_ELEM_CAP
     if full_row_cap is None:
         full_row_cap = min(elem_cap, _PAIR_FULL_ROW_CAP)
+    # n_cols sits on the lane (minor) dim of the (hc, qb, N) blocks, which
+    # Mosaic pads to multiples of 128 — past 256 the raw-N cap math
+    # overestimates headroom badly enough to pick compile-crashing configs
+    # (measured at B=32, hc=16: 288/qb=48 and 280/qb=56 fail Mosaic scoped
+    # vmem by 0.12M/1.32M while 280/qb=40, 288/qb=32 and 320/qb=40 compile
+    # and run).  Budget with the padded width above 256; at or below 256 the
+    # raw-N policies are chip-validated (N=160/qb=80, N=256/qb=64) and the
+    # padded width would wrongly shrink them — keep them as measured.
+    n_cols_eff = n_cols if n_cols <= 256 else -(-n_cols // 128) * 128
     legal = _lane_legal_chunks(H, D)
-    # the resident fp32 k/v scratches (2 x hc*n_cols*D) must also fit: cap
-    # them separately so huge-Nk cross shapes fall back instead of blowing
-    # the Mosaic VMEM allocation at compile time
+    # the resident fp32 k/v scratches (2 x hc*n_cols*D, n_cols on SUBLANES
+    # so no 128-padding) must also fit: cap them separately so huge-Nk cross
+    # shapes fall back instead of blowing the Mosaic VMEM allocation at
+    # compile time
     legal = [hc for hc in legal if hc * n_cols * D <= _KV_ELEM_CAP]
     best = None
     for hc in legal:
-        if hc * n_rows * n_cols <= full_row_cap:
+        if hc * n_rows * n_cols_eff <= full_row_cap:
             best = (hc, n_rows)
     if best is not None:
         return best
     for hc in legal:  # ascending: smallest chunk leaves the most row room
-        max_qb = elem_cap // (hc * n_cols)
+        max_qb = elem_cap // (hc * n_cols_eff)
         qb = 0
         for cand in range(8, n_rows, 8):
             if n_rows % cand == 0 and cand <= max_qb:

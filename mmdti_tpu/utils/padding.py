@@ -56,8 +56,10 @@ def bucket_length(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-# Top bucket holds max_atoms+2=258 tokens rounded up to a multiple of 8 so
-# the fused Pallas kernels (which require seq_len % 8 == 0) stay engaged for
-# the largest molecules instead of silently falling back to the XLA path.
-DEFAULT_ATOM_BUCKETS = (32, 48, 64, 96, 128, 160, 192, 224, 264)
+# Top bucket holds max_atoms+2=258 tokens.  It must be a multiple of 8 (the
+# fused Pallas kernels' seq contract — 258 itself would silently fall back
+# to XLA for exactly the largest molecules), and 280 = 8*35 admits a q-row
+# block of 40: measured 8.03 ms/layer fwd+bwd vs 10.67 for 264 (whose only
+# legal block is 24) and 9.7 for 320 — see docs/PERF.md "Top bucket".
+DEFAULT_ATOM_BUCKETS = (32, 48, 64, 96, 128, 160, 192, 224, 280)
 DEFAULT_SMILES_BUCKETS = (32, 48, 64, 96, 128, 192, 256, 384, 512)

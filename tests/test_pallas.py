@@ -451,6 +451,22 @@ class TestSupportedShapes:
             assert pallas_attention_supported(64, 8, b), b
             assert gbf_fused_supported(b, 128, 128, 64, "gelu"), b
 
+    def test_policy_budgets_padded_lanes_past_256(self):
+        """Mosaic pads the lane dim of (hc,qb,N) blocks to 128-multiples, so
+        for N in 257..384 the policy must budget with 384 lanes: the raw-N
+        math picked qb=48 at N=288 / qb=56 at N=280, both of which FAIL
+        Mosaic scoped-vmem compilation on chip (by 0.12M / 1.32M); qb=40/32
+        compile and run (8.03 / 9.29 ms per layer, B=32).  N<=256 policies
+        are chip-validated with raw N and must not shrink."""
+        from mmdti_tpu.ops.pallas_attention import _chunk_policy
+
+        assert _chunk_policy(64, 280, 280, 8) == (16, 40)
+        assert _chunk_policy(64, 288, 288, 8) == (16, 32)
+        assert _chunk_policy(64, 320, 320, 8) == (16, 40)
+        # validated raw-N policies unchanged
+        assert _chunk_policy(64, 256, 256, 8) == (16, 64)
+        assert _chunk_policy(64, 160, 160, 8) == (16, 80)
+
     def test_layer_falls_back_to_xla_on_long_sequences(self):
         """use_pallas=True at unsupported N must silently take the XLA path
         (identical numerics to use_pallas=False)."""

@@ -111,6 +111,19 @@ class TestDistributed:
         want = float(fwd(jax.device_put(params, None), jax.device_put(feats, None)))
         np.testing.assert_allclose(val, want, rtol=2e-4)
 
+    def test_batch_size_rounds_up_to_data_axis(self):
+        """batch_size must be divisible by the data-mesh axis (every batch is
+        exactly batch_size rows and shards over it); the Trainer rounds up
+        with a warning instead of failing device_put mid-fit."""
+        from mmdti_tpu.train.trainer import Trainer
+
+        t = Trainer(task="regression", metrics="mse", batch_size=8,
+                    mesh=make_mesh((3, 2)))
+        assert t.batch_size == 9  # next multiple of the 3-way data axis
+        t2 = Trainer(task="regression", metrics="mse", batch_size=9,
+                     mesh=make_mesh((3, 2)))
+        assert t2.batch_size == 9  # divisible: untouched
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
