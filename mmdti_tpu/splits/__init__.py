@@ -36,11 +36,12 @@ class Splitter:
 
     def split(self, data, target=None, group=None):
         try:
-            return self.splitter.split(data, target, group)
+            # materialize: sklearn's split() is a generator, so validation
+            # errors (missing groups, n_splits > n_samples, ...) raise at
+            # iteration time — iterating inside the try is what lets us add
+            # context while keeping the real diagnosis visible
+            return list(self.splitter.split(data, target, group))
         except Exception as e:
-            # keep the real diagnosis visible (missing groups, n_splits >
-            # n_samples, non-numeric stratify targets, ...) instead of
-            # mislabelling a known method as unknown
             raise ValueError(
                 f"{self.n_splits}fold_{self.method} split failed: {e}"
             ) from e

@@ -37,7 +37,14 @@ from mmdti_tpu.data.pipeline import prefetch_to_device
 from mmdti_tpu.losses.contrastive import CT_REGISTRY
 from mmdti_tpu.losses.fds import fds_epoch_update
 from mmdti_tpu.losses.registry import target_is_integer
-from mmdti_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from mmdti_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from mmdti_tpu.train.optim import make_optimizer
 from mmdti_tpu.train.profiler import StepTimer
 from mmdti_tpu.utils.logger import logger
@@ -250,8 +257,6 @@ class Trainer:
         # every batch (train via drop_last, val/predict via _pad_to_batch)
         # has exactly batch_size rows, and those rows shard over the data
         # axis — a non-divisible batch_size would fail device_put outright
-        from mmdti_tpu.parallel.mesh import DATA_AXIS
-
         data_par = self.mesh.shape[DATA_AXIS]
         if self.batch_size % data_par:
             rounded = -(-self.batch_size // data_par) * data_par
@@ -265,7 +270,7 @@ class Trainer:
     def _place_params(self, tree):
         """Parameter placement for the mesh: TP_RULES partitioning over the
         'model' axis when it is >1 (DPxTP), full replication otherwise."""
-        from mmdti_tpu.parallel.mesh import MODEL_AXIS, param_sharding
+        from mmdti_tpu.parallel.mesh import param_sharding
 
         if self.mesh.shape[MODEL_AXIS] > 1:
             return jax.device_put(tree, param_sharding(self.mesh, tree))

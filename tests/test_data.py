@@ -275,10 +275,11 @@ class TestSplits:
         df = self._df()
         sp = Splitter("5fold_scaffold", seed=42)
         with pytest.raises(ValueError) as ei:
-            list(sp.split(df))  # no group= -> GroupKFold complains
+            sp.split(df)  # no group= -> GroupKFold complains at iteration,
+            # which split() now does inside its try (it returns a list)
         msg = str(ei.value)
-        assert "Unknown" not in msg
-        assert "groups" in msg
+        assert "split failed" in msg  # the wrapper actually fired
+        assert "groups" in msg  # ...and kept sklearn's diagnosis
 
 
 class TestBucketCollation:
