@@ -305,6 +305,76 @@ class TestZoo:
         np.testing.assert_allclose(np.asarray(g), 0.5)
 
 
+class TestTorchOracleGHM:
+    """Value-level parity of the GHM losses against a torch port of
+    /root/reference/models/loss.py:19-178 (GHM_Loss base + GHMC/GHMR),
+    including the EMA bin-count state across two sequential calls."""
+
+    @staticmethod
+    def _torch_ghm(torch, x, y, last_bin_count, bins, alpha, kind, mu=0.02):
+        import torch.nn.functional as F
+
+        if kind == "c":
+            g = (torch.sigmoid(x) - y).abs()
+        else:
+            d = x - y
+            g = (d / torch.sqrt(d * d + mu * mu)).abs()
+        bin_idx = torch.floor(g * (bins - 0.0001)).long()
+        bin_count = torch.zeros((bins,))
+        for i in range(bins):
+            bin_count[i] = (bin_idx == i).sum().item()
+        n = x.size(0) * x.size(1)
+        if last_bin_count is not None:
+            bin_count = alpha * last_bin_count + (1 - alpha) * bin_count
+        nonempty = (bin_count > 0).sum().item()
+        gd = torch.clamp(bin_count * nonempty, min=0.0001)
+        beta = (n / gd).type_as(x)
+        if kind == "c":
+            loss = F.binary_cross_entropy_with_logits(x, y, weight=beta[bin_idx])
+        else:
+            d = x - y
+            loss = ((torch.sqrt(d * d + mu * mu) - mu) * beta[bin_idx]).sum() / n
+        return loss, bin_count
+
+    def test_ghmc_matches_torch_with_ema(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(11)
+        x0 = rng.randn(16, 3).astype(np.float32)
+        y0 = rng.randint(0, 2, (16, 3)).astype(np.float32)
+        x1 = rng.randn(16, 3).astype(np.float32) * 2.0
+        y1 = rng.randint(0, 2, (16, 3)).astype(np.float32)
+        with torch.no_grad():
+            w0, b0 = self._torch_ghm(torch, torch.from_numpy(x0),
+                                     torch.from_numpy(y0), None, 10, 0.5, "c")
+            w1, b1 = self._torch_ghm(torch, torch.from_numpy(x1),
+                                     torch.from_numpy(y1), b0, 10, 0.5, "c")
+        l0, s0 = zoo.ghmc_loss(jnp.asarray(x0), jnp.asarray(y0))
+        l1, s1 = zoo.ghmc_loss(jnp.asarray(x1), jnp.asarray(y1), last_bin_count=s0)
+        np.testing.assert_allclose(float(l0), float(w0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s0), b0.numpy(), atol=1e-5)
+        np.testing.assert_allclose(float(l1), float(w1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), b1.numpy(), atol=1e-5)
+
+    def test_ghmr_matches_torch_with_ema(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(12)
+        x0 = rng.randn(12, 2).astype(np.float32)
+        y0 = rng.randn(12, 2).astype(np.float32)
+        x1 = rng.randn(12, 2).astype(np.float32)
+        y1 = rng.randn(12, 2).astype(np.float32)
+        with torch.no_grad():
+            w0, b0 = self._torch_ghm(torch, torch.from_numpy(x0),
+                                     torch.from_numpy(y0), None, 10, 0.5, "r")
+            w1, b1 = self._torch_ghm(torch, torch.from_numpy(x1),
+                                     torch.from_numpy(y1), b0, 10, 0.5, "r")
+        l0, s0 = zoo.ghmr_loss(jnp.asarray(x0), jnp.asarray(y0))
+        l1, s1 = zoo.ghmr_loss(jnp.asarray(x1), jnp.asarray(y1), last_bin_count=s0)
+        np.testing.assert_allclose(float(l0), float(w0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s0), b0.numpy(), atol=1e-5)
+        np.testing.assert_allclose(float(l1), float(w1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), b1.numpy(), atol=1e-5)
+
+
 class TestTorchOracleInfoNCEModule:
     """Value-level parity of the full InfoNCE flax module against a torch port
     of /root/reference/models/infonce.py:20-38 (VERDICT r2 missing #3): the
