@@ -12,7 +12,14 @@
 
 #include <cmath>
 #include <cstring>
+#include <utility>
 #include <vector>
+
+static void refine_inner(int n, float* coords,
+                         int nb, const int* bond_idx, const float* bond_len,
+                         int na, const int* ang_idx, const float* ang_len,
+                         int nn, const int* nb_idx,
+                         int iters);
 
 extern "C" {
 
@@ -23,6 +30,126 @@ int mmchem_refine(int n, float* coords,
                   int nn, const int* nb_idx,
                   int iters) {
   if (n <= 0 || !coords) return 1;
+  refine_inner(n, coords, nb, bond_idx, bond_len, na, ang_idx, ang_len,
+               nn, nb_idx, iters);
+  return 0;
+}
+
+// Combined entry: build the (bond, 1-3 angle-distance, nonbonded) term arrays
+// from the molecular graph natively, then refine — the same term math as
+// mmdti_tpu/chem/conformer.py::_build_terms, which previously ran as
+// per-molecule Python loops (the O(n^2) nonbonded enumeration dominated the
+// host featurization profile).
+//
+//   bonds:  [nb,2] int32 atom indices, insertion order (defines adjacency
+//           order, which fixes WHICH center emits a deduplicated 1-3 term)
+//   orders: [nb] float64 bond orders (1.0 / 1.5 aromatic / 2.0 / 3.0)
+//   radii:  [n] float64 covalent radii
+//   flags:  [n] int32 bitmask — bit0 aromatic atom, bit1 boron-like
+//           (forces the 120-degree angle rule)
+int mmchem_embed(int n, float* coords,
+                 int nb, const int* bonds, const double* orders,
+                 const double* radii, const int* flags,
+                 int iters) {
+  if (n <= 0 || !coords || !radii || !flags) return 1;
+  if (nb > 0 && (!bonds || !orders)) return 1;
+
+  auto order_scale = [](double o) {
+    if (o == 1.0) return 1.0;
+    if (o == 1.5) return 0.93;
+    if (o == 2.0) return 0.87;
+    if (o == 3.0) return 0.78;
+    if (o == 4.0) return 0.78;
+    return 1.0;
+  };
+
+  // Bond targets: double math, stored float32 (matches the numpy path, which
+  // computes targets in double and casts the term array).
+  std::vector<double> blend(nb);
+  std::vector<float> blen(nb);
+  for (int b = 0; b < nb; ++b) {
+    double l = (radii[bonds[2 * b]] + radii[bonds[2 * b + 1]]) *
+               order_scale(orders[b]);
+    blend[b] = l;
+    blen[b] = (float)l;
+  }
+
+  // Adjacency in bond-insertion order; pair mask bit0 = bonded, bit1 = has a
+  // 1-3 term already (the 1-3 dedup intentionally does NOT exclude bonded
+  // pairs — a 3-ring closure bond coexists with its angle term).
+  std::vector<std::vector<std::pair<int, int>>> adj(n);  // (neighbor, bond)
+  std::vector<unsigned char> mask((size_t)n * n, 0);
+  for (int b = 0; b < nb; ++b) {
+    int i = bonds[2 * b], j = bonds[2 * b + 1];
+    adj[i].push_back({j, b});
+    adj[j].push_back({i, b});
+    mask[(size_t)i * n + j] |= 1;
+    mask[(size_t)j * n + i] |= 1;
+  }
+
+  const double pi = 3.14159265358979323846;
+  std::vector<int> aidx;
+  std::vector<float> alen;
+  for (int j = 0; j < n; ++j) {
+    int deg = (int)adj[j].size();
+    if (deg < 2) continue;
+    double maxo = 0.0;
+    bool all_ge2 = true;
+    for (auto& e : adj[j]) {
+      double o = orders[e.second];
+      if (o > maxo) maxo = o;
+      if (o < 2.0) all_ge2 = false;
+    }
+    double theta;
+    if (maxo >= 3.0 || (deg == 2 && maxo >= 2.0 && all_ge2))
+      theta = pi;  // sp: linear
+    else if ((flags[j] & 1) || maxo >= 2.0 || (flags[j] & 2))
+      theta = 120.0 * pi / 180.0;
+    else
+      theta = 109.47 * pi / 180.0;
+    double cos_t = std::cos(theta);
+    for (int x = 0; x < deg; ++x) {
+      for (int y = x + 1; y < deg; ++y) {
+        int i = adj[j][x].first, k = adj[j][y].first;
+        if (mask[(size_t)i * n + k] & 2) continue;
+        mask[(size_t)i * n + k] |= 2;
+        mask[(size_t)k * n + i] |= 2;
+        double d1 = blend[adj[j][x].second];
+        double d2 = blend[adj[j][y].second];
+        double v = d1 * d1 + d2 * d2 - 2.0 * d1 * d2 * cos_t;
+        if (v < 1e-6) v = 1e-6;
+        aidx.push_back(i);
+        aidx.push_back(k);
+        alen.push_back((float)std::sqrt(v));
+      }
+    }
+  }
+
+  // Nonbonded: every pair with neither a bond nor a 1-3 term (includes
+  // cross-fragment pairs).
+  std::vector<int> nidx;
+  for (int i = 0; i < n; ++i)
+    for (int k = i + 1; k < n; ++k)
+      if (!mask[(size_t)i * n + k]) {
+        nidx.push_back(i);
+        nidx.push_back(k);
+      }
+
+  refine_inner(n, coords, nb, bonds, blen.data(),
+               (int)(alen.size()), aidx.data(), alen.data(),
+               (int)(nidx.size() / 2), nidx.data(), iters);
+  return 0;
+}
+
+}  // extern "C"
+
+// Shared gradient-descent core (bond/angle springs + soft nonbonded
+// repulsion, momentum, linearly decaying step, per-iteration recentering).
+static void refine_inner(int n, float* coords,
+                         int nb, const int* bond_idx, const float* bond_len,
+                         int na, const int* ang_idx, const float* ang_len,
+                         int nn, const int* nb_idx,
+                         int iters) {
   std::vector<double> x(3 * n), vel(3 * n, 0.0), grad(3 * n);
   for (int i = 0; i < 3 * n; ++i) x[i] = coords[i];
 
@@ -80,11 +207,10 @@ int mmchem_refine(int n, float* coords,
     }
   }
   for (int i = 0; i < 3 * n; ++i) coords[i] = (float)x[i];
-  return 0;
 }
 
 // out: [n,n] float32 pairwise Euclidean distances.
-void mmchem_distance_matrix(int n, const float* coords, float* out) {
+extern "C" void mmchem_distance_matrix(int n, const float* coords, float* out) {
   for (int i = 0; i < n; ++i) {
     out[i * n + i] = 0.0f;
     for (int j = i + 1; j < n; ++j) {
@@ -97,5 +223,3 @@ void mmchem_distance_matrix(int n, const float* coords, float* out) {
     }
   }
 }
-
-}  // extern "C"

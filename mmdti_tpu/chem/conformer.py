@@ -175,7 +175,11 @@ def builtin_smi2coords(
     try:
         from mmdti_tpu.chem import native
 
-        refined = native.refine_coords(mol, coords)
+        # Preferred: graph->terms->refine fully in C++ (embed); next: native
+        # refine over Python-built terms; last: pure numpy.
+        refined = native.embed_coords(mol, coords)
+        if refined is None:
+            refined = native.refine_coords(mol, coords)
         if refined is not None:
             coords = refined
         else:
@@ -260,14 +264,20 @@ def coords2unimol(
     max_atoms: int = 256,
     remove_hs: bool = False,
     crop_rng: Optional[np.random.RandomState] = None,
+    crop_seed: Optional[int] = None,
     **_,
 ) -> Dict[str, np.ndarray]:
     """Tokens / centered coords / distance matrix / edge types
-    (reference numerics: data/conformer.py:182-219)."""
+    (reference numerics: data/conformer.py:182-219).
+
+    ``crop_seed`` defers RandomState construction to the (rare) crop branch —
+    same draws as passing ``crop_rng=np.random.RandomState(crop_seed)``."""
     atoms, coordinates = inner_coords(atoms, coordinates, remove_hs=remove_hs)
     atoms = np.array(atoms)
     coordinates = np.array(coordinates, dtype=np.float32)
     if len(atoms) > max_atoms:
+        if crop_rng is None and crop_seed is not None:
+            crop_rng = np.random.RandomState(crop_seed)
         rng = crop_rng if crop_rng is not None else np.random
         idx = rng.choice(len(atoms), max_atoms, replace=False)
         atoms = atoms[idx]
@@ -280,8 +290,16 @@ def coords2unimol(
         [np.zeros((1, 3), dtype=np.float32), src_coord, np.zeros((1, 3), dtype=np.float32)],
         axis=0,
     )
-    diff = src_coord[:, None, :] - src_coord[None, :, :]
-    src_distance = np.sqrt((diff * diff).sum(-1))
+    src_distance = None
+    try:
+        from mmdti_tpu.chem import native
+
+        src_distance = native.distance_matrix(src_coord)
+    except Exception:
+        pass
+    if src_distance is None:
+        diff = src_coord[:, None, :] - src_coord[None, :, :]
+        src_distance = np.sqrt((diff * diff).sum(-1))
     vocab = len(dictionary)
     src_edge_type = src_tokens.reshape(-1, 1) * vocab + src_tokens.reshape(1, -1)
     return {
@@ -327,7 +345,7 @@ class ConformerGen:
         )
         return coords2unimol(
             atoms, coordinates, self.dictionary, self.max_atoms, remove_hs=self.remove_hs,
-            crop_rng=np.random.RandomState(self.seed),
+            crop_seed=self.seed,
         )
 
     def transform_raw(self, atoms_list, coordinates_list):

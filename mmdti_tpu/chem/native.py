@@ -54,6 +54,22 @@ def _lib():
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_float),
                 ]
+                try:
+                    # Combined graph->terms->refine entry; absent from
+                    # pre-round-3 builds of the library.
+                    lib.mmchem_embed.restype = ctypes.c_int
+                    lib.mmchem_embed.argtypes = [
+                        ctypes.c_int,                     # n atoms
+                        ctypes.POINTER(ctypes.c_float),   # coords [n,3] in/out
+                        ctypes.c_int,                     # n bonds
+                        ctypes.POINTER(ctypes.c_int),     # bonds [nb,2]
+                        ctypes.POINTER(ctypes.c_double),  # orders [nb]
+                        ctypes.POINTER(ctypes.c_double),  # radii [n]
+                        ctypes.POINTER(ctypes.c_int),     # flags [n]
+                        ctypes.c_int,                     # iters
+                    ]
+                except AttributeError:
+                    lib._mmdti_no_embed = True
                 _LIB = lib
                 break
             except OSError:
@@ -63,6 +79,49 @@ def _lib():
 
 def available() -> bool:
     return _lib() is not None
+
+
+def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:
+    """Term building + refinement fully native: only the per-atom radii/flag
+    and per-bond index/order marshalling stays in Python (O(n+nb) work vs the
+    O(n^2) pure-Python nonbonded enumeration in conformer._build_terms).
+    Returns None when the library (or the mmchem_embed entry) is unavailable.
+    """
+    lib = _lib()
+    if lib is None or getattr(lib, "_mmdti_no_embed", False):
+        return None
+    from mmdti_tpu.chem.conformer import _COV_RADII, _DEFAULT_RADIUS
+
+    n = mol.num_atoms()
+    radii = np.array(
+        [_COV_RADII.get(a.symbol, _DEFAULT_RADIUS) for a in mol.atoms],
+        dtype=np.float64,
+    )
+    flags = np.array(
+        [(1 if a.aromatic else 0) | (2 if a.symbol == "B" else 0) for a in mol.atoms],
+        dtype=np.int32,
+    )
+    bonds = np.ascontiguousarray(
+        np.array([[b.a1, b.a2] for b in mol.bonds], dtype=np.int32).reshape(-1, 2)
+    )
+    orders = np.array([b.order for b in mol.bonds], dtype=np.float64)
+    x = np.ascontiguousarray(coords, dtype=np.float32).copy()
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.mmchem_embed(
+        n,
+        x.ctypes.data_as(fp),
+        len(orders),
+        bonds.ctypes.data_as(ip),
+        orders.ctypes.data_as(dp),
+        radii.ctypes.data_as(dp),
+        flags.ctypes.data_as(ip),
+        iters,
+    )
+    if rc != 0:
+        return None
+    return x
 
 
 def refine_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:

@@ -155,6 +155,33 @@ class TestNativeParity:
         theirs = native.refine_coords(mol, c0.copy())
         np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
+    def test_cpp_embed_matches_numpy(self):
+        """The combined graph->terms->refine entry (mmchem_embed) must
+        reproduce the Python term builder exactly: theta rules (sp linear,
+        aromatic/double/boron 120-degree, else tetrahedral), 1-3 dedup that
+        keeps angle terms on 3-ring closure bonds, and cross-fragment
+        nonbonded pairs."""
+        from mmdti_tpu.chem import native
+        from mmdti_tpu.chem.conformer import _build_terms, _refine
+
+        if not native.available():
+            pytest.skip("libmmchem.so not built")
+        for smi in [
+            "CC(=O)Oc1ccccc1C(=O)O",  # aromatic + carbonyls
+            "C#N",                    # sp linear
+            "[Na+].[Cl-]",            # two fragments, no bonds
+            "B(O)(O)c1ccccc1",        # boron 120-degree rule
+            "C1CC1",                  # 3-ring: bonded pairs keep angle terms
+            "O=C=O",                  # cumulated double bonds -> linear
+        ]:
+            mol = parse_smiles(smi).add_hydrogens()
+            rng = np.random.RandomState(0)
+            c0 = (rng.randn(mol.num_atoms(), 3) * 3).astype(np.float32)
+            ours = _refine(c0.copy(), _build_terms(mol))
+            theirs = native.embed_coords(mol, c0.copy())
+            assert theirs is not None, smi
+            np.testing.assert_allclose(ours, theirs, atol=1e-4, err_msg=smi)
+
 
 class TestTokenizer:
     def test_roundtrippable_tokens(self):
