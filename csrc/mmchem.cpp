@@ -35,44 +35,38 @@ int mmchem_refine(int n, float* coords,
   return 0;
 }
 
+// ABI version of the embed entry — bump when mmchem_embed's signature
+// changes; the Python binding refuses the embed path on a mismatch so a
+// stale MMCHEM_LIB build degrades to the refine/numpy ladder instead of
+// miscalling.
+int mmchem_abi_version() { return 2; }
+
 // Combined entry: build the (bond, 1-3 angle-distance, nonbonded) term arrays
 // from the molecular graph natively, then refine — the same term math as
 // mmdti_tpu/chem/conformer.py::_build_terms, which previously ran as
 // per-molecule Python loops (the O(n^2) nonbonded enumeration dominated the
 // host featurization profile).
 //
-//   bonds:  [nb,2] int32 atom indices, insertion order (defines adjacency
-//           order, which fixes WHICH center emits a deduplicated 1-3 term)
-//   orders: [nb] float64 bond orders (1.0 / 1.5 aromatic / 2.0 / 3.0)
-//   radii:  [n] float64 covalent radii
-//   flags:  [n] int32 bitmask — bit0 aromatic atom, bit1 boron-like
-//           (forces the 120-degree angle rule)
+//   bonds:     [nb,2] int32 atom indices, insertion order (defines adjacency
+//              order, which fixes WHICH center emits a deduplicated 1-3 term)
+//   orders:    [nb] float64 bond orders (1.0 / 1.5 aromatic / 2.0 / 3.0)
+//   bond_lens: [nb] float64 ideal bond lengths, computed by the Python
+//              caller (single source: conformer._ideal_bond_length)
+//   flags:     [n] int32 bitmask — bit0 aromatic atom, bit1 boron-like
+//              (forces the 120-degree angle rule)
 int mmchem_embed(int n, float* coords,
                  int nb, const int* bonds, const double* orders,
-                 const double* radii, const int* flags,
+                 const double* bond_lens, const int* flags,
                  int iters) {
-  if (n <= 0 || !coords || !radii || !flags) return 1;
-  if (nb > 0 && (!bonds || !orders)) return 1;
+  if (n <= 0 || !coords || !flags) return 1;
+  if (nb > 0 && (!bonds || !orders || !bond_lens)) return 1;
 
-  auto order_scale = [](double o) {
-    if (o == 1.0) return 1.0;
-    if (o == 1.5) return 0.93;
-    if (o == 2.0) return 0.87;
-    if (o == 3.0) return 0.78;
-    if (o == 4.0) return 0.78;
-    return 1.0;
-  };
-
-  // Bond targets: double math, stored float32 (matches the numpy path, which
-  // computes targets in double and casts the term array).
-  std::vector<double> blend(nb);
+  // Bond targets: double math in the 1-3 law, float32 spring targets
+  // (matches the numpy path, which computes targets in double and casts the
+  // term array).
   std::vector<float> blen(nb);
-  for (int b = 0; b < nb; ++b) {
-    double l = (radii[bonds[2 * b]] + radii[bonds[2 * b + 1]]) *
-               order_scale(orders[b]);
-    blend[b] = l;
-    blen[b] = (float)l;
-  }
+  for (int b = 0; b < nb; ++b) blen[b] = (float)bond_lens[b];
+  const double* blend = bond_lens;
 
   // Adjacency in bond-insertion order; pair mask bit0 = bonded, bit1 = has a
   // 1-3 term already (the 1-3 dedup intentionally does NOT exclude bonded

@@ -304,7 +304,7 @@ def coords2unimol(
     src_edge_type = src_tokens.reshape(-1, 1) * vocab + src_tokens.reshape(1, -1)
     return {
         "src_tokens": src_tokens.astype(np.int64),
-        "src_distance": src_distance.astype(np.float32),
+        "src_distance": src_distance.astype(np.float32, copy=False),
         "src_coord": src_coord.astype(np.float32),
         "src_edge_type": src_edge_type.astype(np.int64),
     }

@@ -56,7 +56,11 @@ def _lib():
                 ]
                 try:
                     # Combined graph->terms->refine entry; absent from
-                    # pre-round-3 builds of the library.
+                    # pre-round-3 builds of the library, and gated on the
+                    # ABI version so a stale build cannot be miscalled.
+                    lib.mmchem_abi_version.restype = ctypes.c_int
+                    if lib.mmchem_abi_version() != 2:
+                        raise AttributeError("mmchem ABI mismatch")
                     lib.mmchem_embed.restype = ctypes.c_int
                     lib.mmchem_embed.argtypes = [
                         ctypes.c_int,                     # n atoms
@@ -64,7 +68,7 @@ def _lib():
                         ctypes.c_int,                     # n bonds
                         ctypes.POINTER(ctypes.c_int),     # bonds [nb,2]
                         ctypes.POINTER(ctypes.c_double),  # orders [nb]
-                        ctypes.POINTER(ctypes.c_double),  # radii [n]
+                        ctypes.POINTER(ctypes.c_double),  # bond lengths [nb]
                         ctypes.POINTER(ctypes.c_int),     # flags [n]
                         ctypes.c_int,                     # iters
                     ]
@@ -81,30 +85,45 @@ def available() -> bool:
     return _lib() is not None
 
 
-def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:
-    """Term building + refinement fully native: only the per-atom radii/flag
-    and per-bond index/order marshalling stays in Python (O(n+nb) work vs the
-    O(n^2) pure-Python nonbonded enumeration in conformer._build_terms).
-    Returns None when the library (or the mmchem_embed entry) is unavailable.
-    """
+def embed_available() -> bool:
+    """True when the combined mmchem_embed entry (ABI v2) can be used."""
     lib = _lib()
-    if lib is None or getattr(lib, "_mmdti_no_embed", False):
+    return lib is not None and not getattr(lib, "_mmdti_no_embed", False)
+
+
+def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:
+    """Term building + refinement fully native: only the per-atom flag and
+    per-bond index/order/length marshalling stays in Python (O(n+nb) work vs
+    the O(n^2) pure-Python nonbonded enumeration in conformer._build_terms;
+    bond lengths come from conformer._ideal_bond_length so the constants stay
+    single-sourced).  Returns None when the library (or the mmchem_embed
+    entry) is unavailable.
+    """
+    if not embed_available():
         return None
-    from mmdti_tpu.chem.conformer import _COV_RADII, _DEFAULT_RADIUS
+    lib = _lib()
+    from mmdti_tpu.chem.conformer import _ideal_bond_length
 
     n = mol.num_atoms()
-    radii = np.array(
-        [_COV_RADII.get(a.symbol, _DEFAULT_RADIUS) for a in mol.atoms],
-        dtype=np.float64,
-    )
+    if coords.shape[0] != n:
+        raise ValueError(
+            f"coords rows ({coords.shape[0]}) != mol atoms ({n}); refusing to "
+            "hand mismatched buffers to the native kernel"
+        )
+    syms = [a.symbol for a in mol.atoms]
     flags = np.array(
-        [(1 if a.aromatic else 0) | (2 if a.symbol == "B" else 0) for a in mol.atoms],
+        [(1 if a.aromatic else 0) | (2 if s == "B" else 0)
+         for a, s in zip(mol.atoms, syms)],
         dtype=np.int32,
     )
     bonds = np.ascontiguousarray(
         np.array([[b.a1, b.a2] for b in mol.bonds], dtype=np.int32).reshape(-1, 2)
     )
     orders = np.array([b.order for b in mol.bonds], dtype=np.float64)
+    blens = np.array(
+        [_ideal_bond_length(syms[b.a1], syms[b.a2], b.order) for b in mol.bonds],
+        dtype=np.float64,
+    )
     x = np.ascontiguousarray(coords, dtype=np.float32).copy()
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int)
@@ -115,7 +134,7 @@ def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarr
         len(orders),
         bonds.ctypes.data_as(ip),
         orders.ctypes.data_as(dp),
-        radii.ctypes.data_as(dp),
+        blens.ctypes.data_as(dp),
         flags.ctypes.data_as(ip),
         iters,
     )
@@ -131,6 +150,11 @@ def refine_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndar
         return None
     from mmdti_tpu.chem.conformer import _build_terms
 
+    if coords.shape[0] != mol.num_atoms():
+        raise ValueError(
+            f"coords rows ({coords.shape[0]}) != mol atoms ({mol.num_atoms()}); "
+            "refusing to hand mismatched buffers to the native kernel"
+        )
     bidx, blen, aidx, alen, nidx = _build_terms(mol)
     x = np.ascontiguousarray(coords, dtype=np.float32).copy()
     bidx = np.ascontiguousarray(bidx, dtype=np.int32)

@@ -161,11 +161,22 @@ class TestNativeParity:
         aromatic/double/boron 120-degree, else tetrahedral), 1-3 dedup that
         keeps angle terms on 3-ring closure bonds, and cross-fragment
         nonbonded pairs."""
+        import shutil
+
         from mmdti_tpu.chem import native
         from mmdti_tpu.chem.conformer import _build_terms, _refine
 
         if not native.available():
-            pytest.skip("libmmchem.so not built")
+            if shutil.which("g++") or shutil.which("cc"):
+                pytest.fail(
+                    "libmmchem.so unavailable although a C++ compiler exists — "
+                    "conftest's `make -C csrc` build failed; run it manually"
+                )
+            pytest.skip("libmmchem.so not built and no compiler available")
+        if not native.embed_available():
+            # A supported compat config: an old MMCHEM_LIB build without the
+            # v2 embed entry degrades to the refine/numpy ladder.
+            pytest.skip("loaded libmmchem.so predates the mmchem_embed v2 ABI")
         for smi in [
             "CC(=O)Oc1ccccc1C(=O)O",  # aromatic + carbonyls
             "C#N",                    # sp linear
