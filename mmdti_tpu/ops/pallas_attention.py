@@ -269,6 +269,14 @@ _KV_ELEM_CAP = 131_072
 #     round-2-validated 240k cap (hc=8 there) leaves ~4MB headroom and
 #     compiles at every measured shape.
 _PAIR_ELEM_CAP = 262_144
+# Deterministic (rate==0) forward-only calls have no dropout-replay coupling
+# to the backward grid, so the fwd may use larger q-row blocks than the
+# shared fwd/bwd policy: its live set has no dp_raw/dl/pd_un fp32 chain.
+# 524k elems reaches qb=128 at N=256 (full MXU rows on the QK/PV passes).
+# Chip-validated at N=256/qb=128 and N=280/qb=56 (the shapes the serving
+# buckets use); the flagship N<=96 full-row branch is unaffected because
+# full_row_cap still clamps to _PAIR_FULL_ROW_CAP.
+_PAIR_FWD_DET_ELEM_CAP = 524_288
 # Full-row (non-blocked) head-chunk selection keeps the round-2-validated
 # envelope: hc=64 full rows at N=64 measured 17.4MB (> VMEM) on the older
 # kernel, so the flagship stays at hc=32 (hc 16-vs-32 measured neutral).
@@ -382,7 +390,13 @@ def _run_fwd(q, k, v, bias, dropout_rate, seed, deterministic, H, pair_dtype):
     B, N, E = q.shape
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
-    policy = _chunk_policy(H, N, N, D)
+    # rate>0 REQUIRES the bwd to share this grid (per-program PRNG replay);
+    # rate==0 has no such coupling, so the fwd alone may take bigger row
+    # blocks (the bwd keeps its own policy from its own _chunk_policy call).
+    policy = _chunk_policy(
+        H, N, N, D,
+        elem_cap=_PAIR_FWD_DET_ELEM_CAP if rate == 0.0 else None,
+    )
     if policy is None:
         raise ValueError(
             f"pallas pair-bias attention unsupported at H={H}, N={N}, D={D}; "

@@ -328,6 +328,40 @@ class TestQRowBlocking:
                 err_msg=f"grad {name} (multi-block)",
             )
 
+    def test_det_fwd_policy_diverges_from_bwd(self, monkeypatch):
+        """Deterministic (rate==0) forwards may use a larger row-block policy
+        than the backward (no dropout-replay grid coupling): with the det cap
+        raised to full rows while the shared cap forces qb=16, the fwd runs a
+        single-block grid and the bwd a two-block grid — values and grads
+        must still match the XLA oracle."""
+        monkeypatch.setattr(pa, "_PAIR_FWD_DET_ELEM_CAP", 2048)
+        H = 2
+        # det fwd sees full rows (2*32*32 = 2048 <= det cap), bwd stays (2,16)
+        assert pa._chunk_policy(2, 32, 32, 8, elem_cap=2048) == (2, 32)
+        assert pa._chunk_policy(2, 32, 32, 8) == (2, 16)
+        q, k, v, bias = _inputs(H=H, N=32, pad_tail=5)
+
+        def loss_x(q, k, v, b):
+            o, l = _xla(q, k, v, b, H)
+            lf = jnp.where(jnp.isfinite(l), l, 0.0)
+            return (o ** 2).sum() + 1e-3 * (lf ** 2).sum()
+
+        def loss_p(q, k, v, b):
+            o, l = pa.pair_bias_attention_pallas(q, k, v, b, num_heads=H)
+            lf = jnp.where(jnp.isfinite(l), l, 0.0)
+            return (o ** 2).sum() + 1e-3 * (lf ** 2).sum()
+
+        o_p, l_p = pa.pair_bias_attention_pallas(q, k, v, bias, num_heads=H)
+        o_x, l_x = _xla(q, k, v, bias, H)
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=1e-5)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b in zip("qkvb", gx, gp):
+            a, b = np.asarray(a), np.asarray(b)
+            fin = np.isfinite(a) & np.isfinite(b)
+            np.testing.assert_allclose(a[fin], b[fin], atol=1e-4,
+                                       err_msg=f"grad {name} (divergent grids)")
+
     def test_dropout_replay_multiblock(self):
         """The PRNG stream keying includes the row-block grid dim: fwd/bwd
         replay must hold across blocks (<f(v),g> == <v,J^T g>)."""
