@@ -53,6 +53,20 @@ def global_mean(y):
 out = global_mean(batch["y"])
 rep = jax.device_get(jax.device_put(out, NamedSharding(mesh, P())))
 print("GLOBAL_MEAN", float(rep), flush=True)
+
+# MolTrain's own multi-host feed: every host reads the same GLOBAL batch and
+# shard_batch device_puts it against the cross-process 'data' sharding
+# (only locally-addressable shards transfer) — docs/API.md scaling section.
+from mmdti_tpu.parallel.mesh import shard_batch
+
+full = np.concatenate(
+    [np.arange(8, dtype=np.float32).reshape(8, 1),
+     np.arange(8, dtype=np.float32).reshape(8, 1) + 100.0]
+)
+g = shard_batch(mesh, {{"y": full}})
+out2 = global_mean(g["y"])
+rep2 = jax.device_get(jax.device_put(out2, NamedSharding(mesh, P())))
+print("REPLICATED_FEED_MEAN", float(rep2), flush=True)
 """
 
 
@@ -93,3 +107,6 @@ def test_two_process_dcn_global_batch(tmp_path):
         line = [l for l in out.splitlines() if l.startswith("GLOBAL_MEAN")][0]
         got = float(line.split()[1])
         np.testing.assert_allclose(got, want, rtol=1e-6)
+        line = [l for l in out.splitlines()
+                if l.startswith("REPLICATED_FEED_MEAN")][0]
+        np.testing.assert_allclose(float(line.split()[1]), want, rtol=1e-6)
