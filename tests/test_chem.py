@@ -194,6 +194,24 @@ class TestNativeParity:
             np.testing.assert_allclose(ours, theirs, atol=1e-4, err_msg=smi)
 
 
+class TestThreadedTransform:
+    def test_pool_matches_serial_and_preserves_order(self):
+        """num_workers>1 routes transform through a thread pool (the C++
+        refine/distance calls release the GIL); results must be identical to
+        the serial path and in input order."""
+        from mmdti_tpu.chem.conformer import ConformerGen
+
+        smis = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+                "CN1C=NC2=C1C(=O)N(C(=O)N2C)C", "CCN(CC)CC", "O=C=O"]
+        serial = ConformerGen().transform(smis)
+        pooled = ConformerGen(num_workers=3).transform(smis)
+        assert len(serial) == len(pooled) == len(smis)
+        for i, (a, b) in enumerate(zip(serial, pooled)):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{smis[i]}/{k}")
+
+
 class TestTokenizer:
     def test_roundtrippable_tokens(self):
         tok = SmilesTokenizer()
