@@ -273,10 +273,11 @@ _PAIR_ELEM_CAP = 262_144
 # to the backward grid, so the fwd may use larger q-row blocks than the
 # shared fwd/bwd policy: its live set has no dp_raw/dl/pd_un fp32 chain.
 # 524k elems reaches qb=128 at N=256 (full MXU rows on the QK/PV passes).
-# Chip-validated at N=256/qb=128, N=280/qb=56, and N=320/qb=80 — the last is
-# 491k elems with the 384-lane padded budget, so the cap's envelope boundary
-# itself is compile-verified; the flagship N<=96 full-row branch is
-# unaffected because full_row_cap still clamps to _PAIR_FULL_ROW_CAP.
+# Chip-validated across the whole bucket ladder: N=192/qb=96, 224/112,
+# 256/128, 280/56, 320/80 — the last is 491k elems with the 384-lane padded
+# budget, so the cap's envelope boundary itself is compile-verified; the
+# flagship N<=96 full-row branch is unaffected because full_row_cap still
+# clamps to _PAIR_FULL_ROW_CAP.
 _PAIR_FWD_DET_ELEM_CAP = 524_288
 # Full-row (non-blocked) head-chunk selection keeps the round-2-validated
 # envelope: hc=64 full rows at N=64 measured 17.4MB (> VMEM) on the older
