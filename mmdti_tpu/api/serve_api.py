@@ -50,7 +50,8 @@ from mmdti_tpu.train.trainer import load_checkpoint
 from mmdti_tpu.utils.logger import logger
 
 _FEATURE_KEYS = (
-    "src_tokens", "src_distance", "src_edge_type", "input_ids", "attention_mask",
+    "src_tokens", "src_distance", "src_edge_type", "src_coord",
+    "input_ids", "attention_mask",
 )
 
 DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
@@ -115,6 +116,11 @@ class MolServe:
                      a large-molecule entry holds O(N^2) distance/edge arrays
                      (~0.5MB at max_atoms=256), so the entry bound alone
                      could grow to gigabytes.
+    device_pair_feats: 'auto' (device on TPU) | bool.  'device' ships only
+                     tokens + [B,N,3] coords per request and reconstructs
+                     the [B,N,N] distance/edge arrays inside the jit
+                     (ops/pair_feats.py) — the dense pair arrays dominate
+                     the request's host->device transfer otherwise.
     """
 
     def __init__(
@@ -125,6 +131,7 @@ class MolServe:
         num_workers: int = 0,
         feature_cache: int = 4096,
         feature_cache_bytes: int = 256 << 20,
+        device_pair_feats: Union[str, bool] = "auto",
     ):
         if not load_model or not os.path.isdir(load_model):
             raise ValueError(f"load_model must be an experiment dir, got {load_model!r}")
@@ -139,14 +146,26 @@ class MolServe:
         cfg = dict(self.config)
 
         # --- host featurization ------------------------------------------
+        # 'auto': ship [B,N,3] coords and reconstruct the [B,N,N] pair arrays
+        # on device (ops/pair_feats.py) whenever the backend is TPU — the
+        # dense pair arrays dominate the request's host->device transfer,
+        # and skipping them on host shrinks featurization + cache entries
+        if device_pair_feats == "auto":
+            device_pair_feats = jax.default_backend() == "tpu"
+        else:
+            device_pair_feats = device_pair_feats in (True, "device")
         self.tokenizer = load_tokenizer(cfg.get("chemberta_dir", "") or None)
-        self.conformer = ConformerGen(**{**cfg, "num_workers": num_workers})
+        self.conformer = ConformerGen(**{
+            **cfg, "num_workers": num_workers,
+            "pair_feats": not device_pair_feats,
+        })
         # ConformerGen resolves the atom dictionary exactly the way NNModel
         # does (unimol_dir -> mol.dict.txt, + [MASK]); share it instead of
         # re-deriving the lookup rule here
         self.dictionary = self.conformer.dictionary
         self.collator = BatchCollator(
-            self.tokenizer, pad_idx=self.dictionary.pad(), pad_mode="bucket"
+            self.tokenizer, pad_idx=self.dictionary.pad(), pad_mode="bucket",
+            pair_feats="device" if device_pair_feats else "host",
         )
 
         # --- artifacts -----------------------------------------------------
@@ -371,11 +390,17 @@ class MolServe:
                     tok[:, 0] = self.dictionary.bos()  # >=1 valid atom: no 0-div pooling
                     feats = {
                         "src_tokens": jnp.asarray(tok),
-                        "src_distance": jnp.zeros((bucket, na, na), jnp.float32),
-                        "src_edge_type": jnp.full((bucket, na, na), pad, jnp.int32),
                         "input_ids": jnp.ones((bucket, ns), jnp.int32),
                         "attention_mask": jnp.ones((bucket, ns), jnp.int32),
                     }
+                    # match the exact feature-dict structure real requests
+                    # ship — a different key set would compile a different
+                    # jit signature and the warmup would buy nothing
+                    if self.collator.pair_feats == "device":
+                        feats["src_coord"] = jnp.zeros((bucket, na, 3), jnp.float32)
+                    else:
+                        feats["src_distance"] = jnp.zeros((bucket, na, na), jnp.float32)
+                        feats["src_edge_type"] = jnp.full((bucket, na, na), pad, jnp.int32)
                     np.asarray(self._forward(self.params, feats))  # sync = compiled
                     self._shapes_seen.add((bucket, na, ns))
         return self

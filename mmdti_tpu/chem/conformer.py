@@ -265,6 +265,7 @@ def coords2unimol(
     remove_hs: bool = False,
     crop_rng: Optional[np.random.RandomState] = None,
     crop_seed: Optional[int] = None,
+    pair_feats: bool = True,
     **_,
 ) -> Dict[str, np.ndarray]:
     """Tokens / centered coords / distance matrix / edge types
@@ -290,6 +291,15 @@ def coords2unimol(
         [np.zeros((1, 3), dtype=np.float32), src_coord, np.zeros((1, 3), dtype=np.float32)],
         axis=0,
     )
+    if not pair_feats:
+        # device-side pair featurization (ops/pair_feats.py): the consumer
+        # reconstructs distance/edge from tokens+coords inside the jit, so
+        # skip the O(N^2) host arrays entirely (smaller cache entries, no
+        # host distance work)
+        return {
+            "src_tokens": src_tokens.astype(np.int64),
+            "src_coord": src_coord.astype(np.float32),
+        }
     src_distance = None
     try:
         from mmdti_tpu.chem import native
@@ -327,6 +337,9 @@ class ConformerGen:
         self.mode = params.get("mode", "fast")
         self.remove_hs = params.get("remove_hs", False)
         self.num_workers = params.get("num_workers", 0) or 0
+        # False: skip the O(N^2) host distance/edge arrays (consumer
+        # reconstructs them on device, ops/pair_feats.py)
+        self.pair_feats = bool(params.get("pair_feats", True))
         dict_path = params.get("dict_path", None)
         unimol_dir = params.get("unimol_dir", "") or ""
         if dict_path is None and unimol_dir:
@@ -345,12 +358,13 @@ class ConformerGen:
         )
         return coords2unimol(
             atoms, coordinates, self.dictionary, self.max_atoms, remove_hs=self.remove_hs,
-            crop_seed=self.seed,
+            crop_seed=self.seed, pair_feats=self.pair_feats,
         )
 
     def transform_raw(self, atoms_list, coordinates_list):
         return [
-            coords2unimol(a, c, self.dictionary, self.max_atoms, remove_hs=self.remove_hs)
+            coords2unimol(a, c, self.dictionary, self.max_atoms, remove_hs=self.remove_hs,
+                          pair_feats=self.pair_feats)
             for a, c in zip(atoms_list, coordinates_list)
         ]
 

@@ -10,7 +10,9 @@ SMILES strings into input_ids/attention_mask, and return (features, labels).
 TPU-specific change: batches are padded to *static* shapes.  'dataset' mode
 pads every batch to the dataset-wide max lengths (one XLA compilation);
 'bucket' mode pads to per-batch buckets from a small fixed set (few
-compilations, less padding waste).
+compilations, less padding waste).  pair_feats='device' ships padded
+[B,N,3] coords instead of the O(N^2) distance/edge arrays; the model
+reconstructs those on device (ops/pair_feats.py) with identical semantics.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from mmdti_tpu.utils.padding import (
     bucket_length,
     pad_1d_tokens,
     pad_2d,
+    pad_coords,
 )
 
 
@@ -55,6 +58,7 @@ class BatchCollator:
         smiles_pad: Optional[int] = None,
         atom_buckets: Sequence[int] = DEFAULT_ATOM_BUCKETS,
         smiles_buckets: Sequence[int] = DEFAULT_SMILES_BUCKETS,
+        pair_feats: str = "host",
     ):
         if pad_mode not in ("dataset", "fixed", "bucket", "ragged"):
             raise ValueError(
@@ -62,9 +66,16 @@ class BatchCollator:
                 "wide static shape), 'fixed' (config-wide static shape), "
                 "'bucket', or 'ragged' (per-batch, CPU/debug)"
             )
+        if pair_feats not in ("host", "device"):
+            raise ValueError(
+                f"unknown pair_feats {pair_feats!r}: 'host' ships the padded "
+                "[B,N,N] distance/edge arrays; 'device' ships [B,N,3] coords "
+                "and reconstructs them inside the jit (ops/pair_feats.py)"
+            )
         self.tokenizer = tokenizer
         self.pad_idx = pad_idx
         self.pad_mode = pad_mode
+        self.pair_feats = pair_feats
         self.atom_pad = atom_pad
         self.smiles_pad = smiles_pad
         self.atom_buckets = tuple(atom_buckets)
@@ -97,15 +108,28 @@ class BatchCollator:
                 [np.asarray(f["src_tokens"], dtype=np.int32) for f in feats],
                 self.pad_idx, pad_to_length=pad_n,
             ),
-            "src_distance": pad_2d(
+        }
+        # MOF features zero the BOS/EOS distance rows (chem/mof.py
+        # coords2unimol_mof), which the device reconstruction doesn't model —
+        # MOF batches always ship host pair arrays
+        device_pairs = self.pair_feats == "device" and "gas_id" not in feats[0]
+        if device_pairs:
+            # ship [B,N,3] coords; the model reconstructs distance/edge on
+            # device (MMModel src_coord path) — ~40x fewer input bytes at
+            # N=64 and no O(N^2) host padding work
+            batch["src_coord"] = pad_coords(
+                [np.asarray(f["src_coord"], dtype=np.float32) for f in feats],
+                0.0, pad_to_length=pad_n,
+            )
+        else:
+            batch["src_distance"] = pad_2d(
                 [np.asarray(f["src_distance"], dtype=np.float32) for f in feats],
                 0.0, pad_to_length=pad_n,
-            ),
-            "src_edge_type": pad_2d(
+            )
+            batch["src_edge_type"] = pad_2d(
                 [np.asarray(f["src_edge_type"], dtype=np.int32) for f in feats],
                 self.pad_idx, pad_to_length=pad_n,
-            ),
-        }
+            )
         if "weights" in feats[0]:
             batch["weights"] = np.stack(
                 [np.asarray(f["weights"], dtype=np.float32).reshape(-1) for f in feats]

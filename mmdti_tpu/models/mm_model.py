@@ -55,18 +55,33 @@ class MMModel(nn.Module):
     def __call__(
         self,
         src_tokens: jnp.ndarray,       # [B,N] int atom tokens
-        src_distance: jnp.ndarray,     # [B,N,N] fp32
-        src_edge_type: jnp.ndarray,    # [B,N,N] int
-        input_ids: jnp.ndarray,        # [B,L] int SMILES tokens
-        attention_mask: jnp.ndarray,   # [B,L] {0,1}
+        src_distance: Optional[jnp.ndarray] = None,   # [B,N,N] fp32
+        src_edge_type: Optional[jnp.ndarray] = None,  # [B,N,N] int
+        input_ids: jnp.ndarray = None,                # [B,L] int SMILES tokens
+        attention_mask: jnp.ndarray = None,           # [B,L] {0,1}
         deterministic: bool = True,
         fds_state: Optional[Dict[str, jnp.ndarray]] = None,
         net_target: Optional[jnp.ndarray] = None,
         epoch: float = 0.0,
         fds_bucket: Tuple[float, float] = (0.0, 1.0),
+        src_coord: Optional[jnp.ndarray] = None,      # [B,N,3] fp32
         **_,
     ) -> Dict[str, Any]:
         ucfg = self.unimol_cfg
+        if src_distance is None or src_edge_type is None:
+            # device-side pair featurization: the input pipeline shipped only
+            # tokens + coords (ops/pair_feats.py); reconstruct the [B,N,N]
+            # pair tensors here so XLA fuses them into the Gaussian consumer
+            if src_coord is None:
+                raise ValueError(
+                    "MMModel needs either (src_distance, src_edge_type) or "
+                    "src_coord to derive them from"
+                )
+            from mmdti_tpu.ops.pair_feats import pair_feats_from_coords
+
+            src_distance, src_edge_type = pair_feats_from_coords(
+                src_tokens, src_coord, self.atom_vocab_size, self.atom_pad_idx
+            )
         padding_mask = src_tokens == self.atom_pad_idx
         atom_mask = (~padding_mask).astype(jnp.int32)
 

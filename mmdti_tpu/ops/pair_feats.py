@@ -1,0 +1,45 @@
+"""On-device pair featurization: distance / edge-type from coords + tokens.
+
+The reference featurizes on host and ships dense ``[B,N,N]`` fp32 distance
+and int32 edge-type arrays to the device every batch
+(/root/reference/data/conformer.py:182-219 builds them per molecule;
+/root/reference/tasks/trainer.py:101-124 moves them with ``.to(device)``).
+Both arrays are pure functions of the ``[B,N]`` tokens and ``[B,N,3]``
+coordinates, so a TPU-native pipeline ships only those (~40x fewer input
+bytes at N=64, ~170x at N=256) and reconstructs the pair tensors inside the
+jit'd step, where XLA fuses them straight into the Gaussian-kernel consumer.
+
+Semantics match the host collation exactly (data/batching.py BatchCollator):
+  * distance: ``||c_i - c_j||`` over real tokens (BOS/EOS rows carry zero
+    coords and ARE real tokens — their distances to atoms are ``||c_j||``),
+    0.0 wherever either side is a pad row;
+  * edge_type: ``tok_i * V + tok_j`` over real tokens, the pad index
+    wherever either side is a pad row.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def pair_feats_from_coords(
+    src_tokens: jnp.ndarray,   # [B,N] int
+    src_coord: jnp.ndarray,    # [B,N,3] fp32, pad rows zero
+    vocab: int,
+    pad_idx: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (src_distance [B,N,N] fp32, src_edge_type [B,N,N] int32)."""
+    tok = src_tokens.astype(jnp.int32)
+    real = tok != pad_idx
+    pair_real = real[:, :, None] & real[:, None, :]
+
+    coord = src_coord.astype(jnp.float32)
+    diff = coord[:, :, None, :] - coord[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    dist = jnp.where(pair_real, dist, 0.0)
+
+    edge = tok[:, :, None] * jnp.int32(vocab) + tok[:, None, :]
+    edge = jnp.where(pair_real, edge, jnp.int32(pad_idx))
+    return dist, edge

@@ -140,12 +140,23 @@ class NNModel:
                 self.features_train, self.tokenizer, pad_multiple,
                 extra_datasets=[self.features_test],
             )
+        # Pair-feature placement ('auto'): on TPU the [B,N,N] distance/edge
+        # arrays are reconstructed on device from [B,N,3] coords inside the
+        # jit (ops/pair_feats.py) — ~40x fewer host->device bytes per batch
+        # and no O(N^2) host padding; CPU (the numerics oracle) keeps the
+        # host arrays.  Both paths are value-identical (tests/test_pair_feats.py).
+        pair_feats = params.get("device_pair_feats", "auto")
+        if pair_feats == "auto":
+            pair_feats = "device" if jax.default_backend() == "tpu" else "host"
+        else:
+            pair_feats = "device" if pair_feats in (True, "device") else "host"
         self.collator = BatchCollator(
             self.tokenizer,
             pad_idx=self.dictionary.pad(),
             pad_mode=params.get("pad_mode", "dataset"),
             atom_pad=self.atom_pad,
             smiles_pad=self.smiles_pad,
+            pair_feats=pair_feats,
         )
 
         # model --------------------------------------------------------------------
@@ -275,7 +286,8 @@ class NNModel:
         return {
             k: jnp.asarray(v)
             for k, v in batch.items()
-            if k in ("src_tokens", "src_distance", "src_edge_type", "input_ids", "attention_mask")
+            if k in ("src_tokens", "src_distance", "src_edge_type", "src_coord",
+                     "input_ids", "attention_mask")
         }
 
     def _init_params(self, params):

@@ -50,7 +50,10 @@ from mmdti_tpu.train.profiler import StepTimer
 from mmdti_tpu.utils.logger import logger
 from mmdti_tpu.utils.metrics import Metrics
 
-_FEATURE_KEYS = ("src_tokens", "src_distance", "src_edge_type", "input_ids", "attention_mask")
+_FEATURE_KEYS = (
+    "src_tokens", "src_distance", "src_edge_type", "src_coord",
+    "input_ids", "attention_mask",
+)
 
 
 def checkpoint_path(dump_dir: str, fold: int, backend: str = "msgpack") -> str:

@@ -144,6 +144,25 @@ class TestMolServe:
         assert out2["valid"].tolist() == [True, False]
         assert np.isfinite(out2["predict"]).all()
 
+    def test_device_pair_feats_parity(self, server, serve_exp):
+        """device_pair_feats=True (ship coords, reconstruct [B,N,N] on
+        device) returns the same predictions as the host-array path, and
+        warmup compiles the same jit signature real requests use."""
+        exp, _, smiles = serve_exp
+        from mmdti_tpu import MolServe
+
+        srv_dev = MolServe(exp, device_pair_feats=True)
+        assert srv_dev.collator.pair_feats == "device"
+        a = server.predict(smiles)["predict"]
+        b = srv_dev.predict(smiles)["predict"]
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+        # warmed bucket must be reused by a real request (same arg structure)
+        srv_dev.warmup_buckets(batch_sizes=(1,), atom_buckets=(32,),
+                               smiles_buckets=(32,))
+        n = srv_dev.compiled_shapes
+        srv_dev.predict("CCO")
+        assert srv_dev.compiled_shapes == n
+
     def test_warmup_buckets_precompiles_grid(self, server):
         """Grid warmup compiles synthetic shape buckets without real SMILES;
         a request landing in a warmed bucket then adds no new compilation."""
