@@ -46,6 +46,10 @@ def _featurizer_fingerprint(params: Dict[str, Any]) -> Dict[str, Any]:
         "method": params.get("method", "rdkit_random"),
         "mode": params.get("mode", "fast"),
         "remove_hs": bool(params.get("remove_hs", False)),
+        # False drops the O(N^2) host pair arrays from each entry
+        # (device-side reconstruction, ops/pair_feats.py) — a cache built
+        # one way cannot serve the other
+        "pair_feats": bool(params.get("pair_feats", True)),
         "dict": hashlib.md5("\n".join(d.symbols).encode()).hexdigest(),
     }
 

@@ -168,6 +168,26 @@ class TestConformerCacheKey:
         h3 = DataHub(**common, remove_hs=True)  # same params: cache hit OK
         assert len(h3.data["unimol_input"][0]["src_tokens"]) == n_no_h
 
+    def test_cache_invalidates_on_pair_feats_change(self, tmp_path):
+        """A cache built WITHOUT host pair arrays (pair_feats=False,
+        device-side reconstruction) must not be served to a host-pair-feats
+        consumer — its entries have no src_distance/src_edge_type at all."""
+        import pandas as pd
+        from mmdti_tpu.data.hub import DataHub
+
+        csv = tmp_path / "d.csv"
+        pd.DataFrame({"smiles": ["CCO", "CCCC"],
+                      "measured": [0.1, 0.2]}).to_csv(csv, index=False)
+        cache = str(tmp_path / "conf.pkl")
+        common = dict(
+            data=str(csv), is_train=True, task="regression", use_scaler=False,
+            target_cols=["measured"], smiles_col="smiles", cache_dir_train=cache,
+        )
+        h1 = DataHub(**common, pair_feats=False)
+        assert "src_distance" not in h1.data["unimol_input"][0]
+        h2 = DataHub(**common)  # host pair feats: must NOT hit that cache
+        assert "src_distance" in h2.data["unimol_input"][0]
+
 
 class TestCollation:
     def _features(self, n=6):
