@@ -279,11 +279,22 @@ _PAIR_ELEM_CAP = 262_144
 # flagship N<=96 full-row branch is unaffected because full_row_cap still
 # clamps to _PAIR_FULL_ROW_CAP.
 _PAIR_FWD_DET_ELEM_CAP = 524_288
-# Full-row (non-blocked) head-chunk selection keeps the round-2-validated
-# envelope: hc=64 full rows at N=64 measured 17.4MB (> VMEM) on the older
-# kernel, so the flagship stays at hc=32 (hc 16-vs-32 measured neutral).
-_PAIR_FULL_ROW_CAP = 240_000
+# Full-row (non-blocked) head-chunk selection budgets in PADDED elems: the
+# pair blocks put N on the lane (minor) dim, which Mosaic pads to
+# 128-multiples at EVERY N, so raw-N math underestimates small-N VMEM by up
+# to 4x.  Chip facts all sit on one ~46B/padded-elem line for the pair bwd:
+# (32,64) at N=64 fits (262144 padded), (64,48) at N=48 fails scoped vmem at
+# 17.36M (393216 padded — the fit_probe small-molecule OOM this cap fixes),
+# and the N=256 qb=128 bwd OOM at 23.8M is 524288 padded.  Cap at the
+# validated 262144 point; the flagship (32,64) sits exactly on it.
+_PAIR_FULL_ROW_CAP = 262_144
 _MASKED_ELEM_CAP = 240_000
+# Masked full-row selection sits on the same padded boundary as the pair
+# family: (8, 256) at Nk=64 (262144 padded elems) compiles at B=64 while
+# hc=16 (524288 padded) fails Mosaic scoped vmem by 148K-916K bytes — the
+# full-row budget is padded elems, so the validated point needs its own cap
+# (folding it into _MASKED_ELEM_CAP would also enlarge the blocked budget).
+_MASKED_FULL_ROW_CAP = 262_144
 
 
 def _lane_legal_chunks(H: int, D: int):
@@ -323,6 +334,11 @@ def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int,
     # raw-N policies are chip-validated (N=160/qb=80, N=256/qb=64) and the
     # padded width would wrongly shrink them — keep them as measured.
     n_cols_eff = n_cols if n_cols <= 256 else -(-n_cols // 128) * 128
+    # full-row selection always budgets the padded lane width (see the
+    # _PAIR_FULL_ROW_CAP comment): at n_cols<128 the raw width understates
+    # the block by up to 4x, which is how (64, 48) slipped under the old cap
+    # and OOM'd Mosaic's scoped vmem on small-molecule datasets
+    n_cols_fr = -(-n_cols // 128) * 128
     legal = _lane_legal_chunks(H, D)
     # the resident fp32 k/v scratches (2 x hc*n_cols*D, n_cols on SUBLANES
     # so no 128-padding) must also fit: cap them separately so huge-Nk cross
@@ -331,7 +347,7 @@ def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int,
     legal = [hc for hc in legal if hc * n_cols * D <= _KV_ELEM_CAP]
     best = None
     for hc in legal:
-        if hc * n_rows * n_cols_eff <= full_row_cap:
+        if hc * n_rows * n_cols_fr <= full_row_cap:
             best = (hc, n_rows)
     if best is not None:
         return best
@@ -579,7 +595,7 @@ def masked_attention_supported(num_heads: int, head_dim: int, q_len: int,
         and k_len % 8 == 0
         and _chunk_policy(num_heads, q_len, k_len, head_dim,
                           elem_cap=_MASKED_ELEM_CAP,
-                          full_row_cap=_MASKED_ELEM_CAP) is not None
+                          full_row_cap=_MASKED_FULL_ROW_CAP) is not None
     )
 
 
@@ -606,7 +622,7 @@ def _masked_fwd_rule(q, k, v, mask, dropout_rate, seed, deterministic, H):
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
     policy = _chunk_policy(H, Nq, Nk, D, elem_cap=_MASKED_ELEM_CAP,
-                           full_row_cap=_MASKED_ELEM_CAP)
+                           full_row_cap=_MASKED_FULL_ROW_CAP)
     if policy is None:
         raise ValueError(
             f"pallas masked attention unsupported at H={H}, Nq={Nq}, Nk={Nk}; "
@@ -639,7 +655,7 @@ def _masked_bwd_rule(dropout_rate, deterministic, H, res, g_out):
     D = E // H
     rate = 0.0 if deterministic else dropout_rate
     hc, qb = _chunk_policy(H, Nq, Nk, D, elem_cap=_MASKED_ELEM_CAP,
-                           full_row_cap=_MASKED_ELEM_CAP)
+                           full_row_cap=_MASKED_FULL_ROW_CAP)
     multi = qb < Nq
     dkv_dtype = jnp.float32 if multi else k.dtype
     q_spec, kv_spec, mask_spec = _masked_specs(Nq, Nk, hc, qb, D)

@@ -334,10 +334,11 @@ class TestQRowBlocking:
         raised to full rows while the shared cap forces qb=16, the fwd runs a
         single-block grid and the bwd a two-block grid — values and grads
         must still match the XLA oracle."""
-        monkeypatch.setattr(pa, "_PAIR_FWD_DET_ELEM_CAP", 2048)
+        monkeypatch.setattr(pa, "_PAIR_FWD_DET_ELEM_CAP", 8192)
         H = 2
-        # det fwd sees full rows (2*32*32 = 2048 <= det cap), bwd stays (2,16)
-        assert pa._chunk_policy(2, 32, 32, 8, elem_cap=2048) == (2, 32)
+        # det fwd sees full rows (full-row budget is lane-PADDED:
+        # 2*32*ceil128(32) = 8192 <= det cap), bwd stays (2,16)
+        assert pa._chunk_policy(2, 32, 32, 8, elem_cap=8192) == (2, 32)
         assert pa._chunk_policy(2, 32, 32, 8) == (2, 16)
         q, k, v, bias = _inputs(H=H, N=32, pad_tail=5)
 
@@ -448,10 +449,13 @@ class TestSupportedShapes:
             _chunk_policy,
         )
 
+        from mmdti_tpu.ops.pallas_attention import _MASKED_FULL_ROW_CAP
+
         assert _MASKED_ELEM_CAP <= 240_000
+        assert _MASKED_FULL_ROW_CAP <= 262_144  # padded-elem budget
         pol = _chunk_policy(16, 256, 64, 32,
                             elem_cap=_MASKED_ELEM_CAP,
-                            full_row_cap=_MASKED_ELEM_CAP)
+                            full_row_cap=_MASKED_FULL_ROW_CAP)
         assert pol == (8, 256)
 
     def test_dispatcher_handles_none_mask_with_pallas_flag(self):
@@ -500,6 +504,33 @@ class TestSupportedShapes:
         # validated raw-N policies unchanged
         assert _chunk_policy(64, 256, 256, 8) == (16, 64)
         assert _chunk_policy(64, 160, 160, 8) == (16, 80)
+
+    def test_full_row_budget_pads_small_n_lanes(self):
+        """The full-row branch budgets with lanes padded to 128 at EVERY N:
+        at N=48 the raw math picked hc=64 (147456 raw elems) which fails
+        Mosaic scoped vmem at 17.36M on chip — 393216 PADDED elems, 1.5x the
+        validated flagship point (32,64) = 262144 padded.  Small-molecule
+        datasets (atom pad <= 56) hit this on the first real train step."""
+        from mmdti_tpu.ops.pallas_attention import (
+            _PAIR_FULL_ROW_CAP,
+            _chunk_policy,
+        )
+
+        # chip-validated small-N ladder (B=32, H=64, D=8)
+        assert _chunk_policy(64, 48, 48, 8) == (32, 48)   # was (64,48): OOM
+        assert _chunk_policy(64, 32, 32, 8) == (64, 32)
+        assert _chunk_policy(64, 56, 56, 8) == (32, 56)
+        assert _chunk_policy(64, 80, 80, 8) == (16, 80)
+        assert _chunk_policy(64, 96, 96, 8) == (16, 96)
+        assert _chunk_policy(64, 64, 64, 8) == (32, 64)   # flagship pinned
+        # padded-budget invariant over every bucketable small N
+        for n in range(8, 136, 8):
+            pol = _chunk_policy(64, n, n, 8)
+            assert pol is not None
+            hc, qb = pol
+            if qb == n:  # full-row selection
+                padded = -(-n // 128) * 128
+                assert hc * n * padded <= _PAIR_FULL_ROW_CAP
 
     def test_layer_falls_back_to_xla_on_long_sequences(self):
         """use_pallas=True at unsupported N must silently take the XLA path
