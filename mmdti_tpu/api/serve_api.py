@@ -150,14 +150,13 @@ class MolServe:
         # on device (ops/pair_feats.py) whenever the backend is TPU — the
         # dense pair arrays dominate the request's host->device transfer,
         # and skipping them on host shrinks featurization + cache entries
-        if device_pair_feats == "auto":
-            device_pair_feats = jax.default_backend() == "tpu"
-        else:
-            device_pair_feats = device_pair_feats in (True, "device")
+        from mmdti_tpu.ops.pair_feats import resolve_pair_feats_mode
+
+        pair_mode = resolve_pair_feats_mode(device_pair_feats)
         self.tokenizer = load_tokenizer(cfg.get("chemberta_dir", "") or None)
         self.conformer = ConformerGen(**{
             **cfg, "num_workers": num_workers,
-            "pair_feats": not device_pair_feats,
+            "pair_feats": pair_mode == "host",
         })
         # ConformerGen resolves the atom dictionary exactly the way NNModel
         # does (unimol_dir -> mol.dict.txt, + [MASK]); share it instead of
@@ -165,7 +164,7 @@ class MolServe:
         self.dictionary = self.conformer.dictionary
         self.collator = BatchCollator(
             self.tokenizer, pad_idx=self.dictionary.pad(), pad_mode="bucket",
-            pair_feats="device" if device_pair_feats else "host",
+            pair_feats=pair_mode,
         )
 
         # --- artifacts -----------------------------------------------------

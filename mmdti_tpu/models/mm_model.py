@@ -68,6 +68,11 @@ class MMModel(nn.Module):
         **_,
     ) -> Dict[str, Any]:
         ucfg = self.unimol_cfg
+        if input_ids is None or attention_mask is None:
+            # these only became keyword-optional so src_distance/src_edge_type
+            # could move behind src_coord; fail here by name instead of
+            # opaquely inside the ChemBERTa trace
+            raise ValueError("MMModel requires input_ids and attention_mask")
         if src_distance is None or src_edge_type is None:
             # device-side pair featurization: the input pipeline shipped only
             # tokens + coords (ops/pair_feats.py); reconstruct the [B,N,N]

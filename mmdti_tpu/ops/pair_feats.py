@@ -24,6 +24,18 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
+def resolve_pair_feats_mode(value) -> str:
+    """Shared 'auto'/bool/str -> 'host' | 'device' resolution (NNModel and
+    MolServe must agree on what 'auto' means, so it lives in one place):
+    'auto' picks 'device' on TPU backends, 'host' elsewhere (the CPU path is
+    the numerics oracle and keeps the reference-shaped dense inputs)."""
+    if value == "auto" or value is None:
+        import jax
+
+        return "device" if jax.default_backend() == "tpu" else "host"
+    return "device" if value in (True, "device") else "host"
+
+
 def pair_feats_from_coords(
     src_tokens: jnp.ndarray,   # [B,N] int
     src_coord: jnp.ndarray,    # [B,N,3] fp32, pad rows zero

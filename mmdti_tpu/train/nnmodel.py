@@ -145,11 +145,26 @@ class NNModel:
         # jit (ops/pair_feats.py) — ~40x fewer host->device bytes per batch
         # and no O(N^2) host padding; CPU (the numerics oracle) keeps the
         # host arrays.  Both paths are value-identical (tests/test_pair_feats.py).
-        pair_feats = params.get("device_pair_feats", "auto")
-        if pair_feats == "auto":
-            pair_feats = "device" if jax.default_backend() == "tpu" else "host"
-        else:
-            pair_feats = "device" if pair_feats in (True, "device") else "host"
+        from mmdti_tpu.ops.pair_feats import resolve_pair_feats_mode
+
+        pair_feats = resolve_pair_feats_mode(params.get("device_pair_feats", "auto"))
+        # The featurizer has its own knob (ConformerGen pair_feats=False skips
+        # the O(N^2) host arrays entirely — smaller conformer caches).  Such
+        # features can only be collated in device mode: honor them rather
+        # than KeyError on the first batch.
+        probe_feat = (self.features_train or self.features_test or [None])[0]
+        if (
+            pair_feats == "host"
+            and isinstance(probe_feat, dict)
+            and "src_distance" not in probe_feat
+            and "gas_id" not in probe_feat
+        ):
+            logger.info(
+                "features were built without host pair arrays "
+                "(pair_feats=False); switching the collator to device-side "
+                "pair featurization"
+            )
+            pair_feats = "device"
         self.collator = BatchCollator(
             self.tokenizer,
             pad_idx=self.dictionary.pad(),

@@ -47,6 +47,22 @@ def main():
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 30
     print(f"backend={jax.default_backend()} B={B} N={N} L={L} reps={reps}")
 
+    import jax.numpy as jnp
+
+    def run(payloads, k):
+        """Put k payloads, then hard host sync through a value that depends
+        on every array (difference-based timing below subtracts the fixed
+        sync cost; block_until_ready alone can lie through the tunnel's
+        async dispatch — CLAUDE.md TIMING TRAP)."""
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for p in payloads[:k]:
+            dev = jax.device_put(p)
+            for v in dev.values():
+                acc = acc + v.ravel()[0].astype(jnp.float32)
+        float(acc)
+        return time.perf_counter() - t0
+
     for name, batch in batch_styles(B, N, L).items():
         nbytes = sum(v.nbytes for v in batch.values())
         # fresh arrays each rep so no transfer is elided by caching
@@ -55,15 +71,14 @@ def main():
              for k, v in batch.items()}
             for i in range(reps)
         ]
-        # warmup
-        jax.block_until_ready(jax.device_put(payloads[0]))
-        t0 = time.perf_counter()
-        for p in payloads:
-            jax.block_until_ready(jax.device_put(p))
-        dt = (time.perf_counter() - t0) / reps
+        run(payloads, 3)  # warmup (compile the sync adds)
+        short = run(payloads, reps // 3)
+        full = run(payloads, reps)
+        dt = (full - short) / (reps - reps // 3)
         print(
             f"{name:18s} {nbytes/1e6:8.3f} MB/batch  {dt*1e3:8.2f} ms/batch  "
-            f"{nbytes/dt/1e6:8.1f} MB/s"
+            f"{nbytes/dt/1e6:8.1f} MB/s  (difference-based over "
+            f"{reps - reps//3} puts)"
         )
 
 

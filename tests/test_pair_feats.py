@@ -7,6 +7,8 @@ featurizer numerics from chem/conformer.py coords2unimol) on real featurized
 molecules, and the end-to-end model equivalence between the two input modes.
 """
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -164,3 +166,65 @@ class TestModelEquivalence:
     def test_collator_rejects_unknown_mode(self):
         with pytest.raises(ValueError, match="pair_feats"):
             BatchCollator(SmilesTokenizer(), pad_idx=1, pair_feats="gpu")
+
+    def test_missing_smiles_inputs_raise_by_name(self, featurized):
+        """input_ids/attention_mask became keyword-optional for signature
+        reasons only — omitting them must fail with a named error, not
+        opaquely inside the ChemBERTa trace."""
+        import jax
+
+        from mmdti_tpu.models import build_model
+
+        gen, feats = featurized
+        pad_idx = gen.dictionary.pad()
+        host = _collate(feats[:1], "host", pad_idx, atom_pad=16)
+        model = build_model(
+            output_dim=1, atom_vocab_size=len(gen.dictionary),
+            atom_pad_idx=pad_idx, task="regression", smiles_vocab_size=600,
+            compute_dtype="float32",
+            unimol_overrides={
+                "encoder_layers": 1, "embed_dim": 16, "ffn_embed_dim": 32,
+                "attention_heads": 2,
+            },
+        )
+        rng = jax.random.PRNGKey(0)
+        with pytest.raises(ValueError, match="input_ids"):
+            model.init(
+                {"params": rng, "dropout": rng},
+                src_tokens=jnp.asarray(host["src_tokens"]),
+                src_distance=jnp.asarray(host["src_distance"]),
+                src_edge_type=jnp.asarray(host["src_edge_type"]),
+                deterministic=True,
+            )
+
+
+class TestFeaturizerCollatorCoherence:
+    def test_host_collation_of_device_features_switches_mode(self, tmp_path):
+        """pair_feats=False features (no host pair arrays) with a collator
+        that resolved to 'host' (the CPU default) must train, not KeyError
+        on the first batch: NNModel inspects the features and switches the
+        collator to device-side reconstruction."""
+        import pandas as pd
+
+        from mmdti_tpu import MolTrain
+        from tests.conftest import SMALL_ARCH, SMILES_20
+
+        rng = np.random.RandomState(0)
+        df = pd.DataFrame(
+            {"smiles": SMILES_20[:12], "measured": rng.randn(12)}
+        )
+        train, val = tmp_path / "tr.csv", tmp_path / "va.csv"
+        df.iloc[:8].to_csv(train, index=False)
+        df.iloc[8:].to_csv(val, index=False)
+        exp = str(tmp_path / "exp")
+        clf = MolTrain(
+            task="regression", epochs=1, batch_size=4, metrics="mse",
+            smiles_col="smiles", save_path=exp, target_cols=["measured"],
+            seed=7, compute_dtype="float32", use_pallas=False,
+            pair_feats=False,  # featurizer skips host pair arrays
+            # device_pair_feats left at 'auto' -> 'host' on CPU: the
+            # mismatch this test pins
+            **SMALL_ARCH,
+        )
+        clf.fit(str(train), str(val))
+        assert os.path.exists(os.path.join(exp, "model_0.ckpt"))
