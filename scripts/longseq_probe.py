@@ -32,7 +32,8 @@ def probe(N: int) -> dict:
         smiles_vocab_size=300, compute_dtype="bfloat16", use_pallas=True,
         unimol_overrides={"pair_dtype": "bfloat16", "remat": REMAT},
     )
-    feats = {k: jnp.asarray(v) for k, v in _example_batch(B=B, N=N, L=64).items()}
+    L = int(os.environ.get("MMDTI_PROBE_L", "64"))
+    feats = {k: jnp.asarray(v) for k, v in _example_batch(B=B, N=N, L=L).items()}
     labels = jnp.asarray(np.random.RandomState(0).randn(B, 1), jnp.float32)
     weights = jnp.ones((B, 1), jnp.float32)
     key = jax.random.PRNGKey(0)
