@@ -81,9 +81,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put every array with the leading axis sharded over 'data'."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    """Device-put every array with the leading axis sharded over 'data'.
+
+    One device_put call for the whole tree: per-array puts each cost a
+    host->device round trip, which adds up on thin tunnel links (CLAUDE.md:
+    H2D is ~20-50MB/s with ~ms fixed cost per transfer here)."""
+    return jax.device_put(batch, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):

@@ -203,6 +203,46 @@ def _load_history(dump_dir: Optional[str], fold: int, upto_epoch: int):
         return []
 
 
+@jax.jit
+def _epoch_metric_means(metrics_list):
+    """Per-key mean over a list of per-step metric dicts, as ONE program.
+
+    Two reasons this is jit'd: (a) one host pull of a few scalars instead of
+    a device_get per metric per step (hundreds of tunnel round trips per
+    epoch); (b) eager multi-op sequences on sharded arrays can starve the
+    XLA:CPU cross-program collective rendezvous on virtual-device meshes
+    (see losses/fds.py fds_epoch_update)."""
+    return {
+        k: jnp.mean(jnp.concatenate(
+            [jnp.atleast_1d(m[k]).ravel() for m in metrics_list]
+        ))
+        for k in metrics_list[0]
+    }
+
+
+@jax.jit
+def _concat_rows(parts):
+    """jit'd row concatenation of per-batch device outputs (single program —
+    same rendezvous-safety rationale as _epoch_metric_means)."""
+    return jnp.concatenate(parts, axis=0)
+
+
+@jax.jit
+def _stack_scalars(parts):
+    return jnp.stack(parts)
+
+
+@jax.jit
+def _copy_tree(tree):
+    """Device-side deep copy as ONE compiled program.
+
+    Used for the best-params snapshot each improving epoch: an eager
+    jax.tree.map(jnp.copy, ...) dispatches one tiny op per leaf (~hundreds),
+    which is pure host/tunnel latency.  jit outputs never alias non-donated
+    inputs, so the snapshot survives later donation of `tree`'s buffers."""
+    return jax.tree.map(jnp.copy, tree)
+
+
 def _weighted_loss_mean(val_losses) -> float:
     """Row-weighted mean of per-batch (loss, n_valid_rows) pairs."""
     if not val_losses:
@@ -297,10 +337,11 @@ class Trainer:
 
         return jax.tree.map(pad, batch), pad(labels), n
 
-    def _labels_device(self, labels: np.ndarray):
-        if target_is_integer(self.task):
-            return jnp.asarray(labels, jnp.int32)
-        return jnp.asarray(labels, jnp.float32)
+    def _labels_host(self, labels: np.ndarray) -> np.ndarray:
+        """Dtype-normalized host array (device placement happens in the
+        caller's batched device_put)."""
+        dt = np.int32 if target_is_integer(self.task) else np.float32
+        return np.asarray(labels, dt)
 
     # ------------------------------------------------------------------
     def build_train_step(
@@ -505,8 +546,8 @@ class Trainer:
         # (e.g. NaN validation loss from epoch 1) — crashing save_checkpoint
         # at the end of fit.  Donation is a no-op on CPU, so only real-device
         # runs hit the aliasing.
-        best_params = jax.tree.map(jnp.copy, params)
-        best_fds = jax.tree.map(jnp.copy, fds_state) if fds_state is not None else None
+        best_params = _copy_tree(params)
+        best_fds = _copy_tree(fds_state) if fds_state is not None else None
         min_val_loss = float("inf")
         best_score = self.metrics.initial_best() if self.metrics else None
         use_metric_stop = isinstance(self.metrics_str, str) and self.metrics_str not in (
@@ -529,17 +570,19 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
 
         def put_on_device(item):
-            """H2D transfer for one batch (runs inside the prefetch window)."""
+            """H2D transfer for one batch (runs inside the prefetch window).
+
+            ONE device_put for the whole (feats, labels, weights) tree —
+            separate puts each pay the tunnel's fixed per-transfer cost."""
             batch, labels = item
             feats, weights = self._split_batch(batch)
-            feats = shard_batch(self.mesh, feats)
-            labels_d = jax.device_put(self._labels_device(labels), bsh)
-            w_d = (
-                jax.device_put(jnp.asarray(weights, jnp.float32), bsh)
+            labels_h = self._labels_host(labels)
+            w_h = (
+                np.asarray(weights, np.float32)
                 if weights is not None
-                else jnp.ones((labels.shape[0], 1), jnp.float32)
+                else np.ones((labels.shape[0], 1), np.float32)
             )
-            return feats, labels_d, w_d
+            return jax.device_put((feats, labels_h, w_h), bsh)
 
         # profiling hooks: trace the first profile_steps dispatches into
         # profile_dir + per-epoch step-time p50/p95 (no-ops when off; the
@@ -628,11 +671,11 @@ class Trainer:
                 )
                 step_timer = StepTimer()
 
+            # Reduce the per-step metrics ON DEVICE and pull one scalar per
+            # key (see _epoch_metric_means).
             train_means = {
-                k: float(np.mean(np.concatenate([
-                    np.atleast_1d(jax.device_get(m[k])) for m in epoch_metrics
-                ])))
-                for k in epoch_metrics[0]
+                k: float(v)
+                for k, v in jax.device_get(_epoch_metric_means(epoch_metrics)).items()
             }
 
             # ---- FDS epoch pass: on-device feature sweep + stats update ----
@@ -645,9 +688,11 @@ class Trainer:
                 feats_list, label_list = [], []
                 for batch, labels in fds_loader:
                     fb, _ = self._split_batch(batch)
-                    fb = shard_batch(self.mesh, fb)
+                    fb, labels_d = jax.device_put(
+                        (fb, self._labels_host(labels)), bsh
+                    )
                     _, _, pooled, _ = eval_step(
-                        params, fb, self._labels_device(labels),
+                        params, fb, labels_d,
                         jnp.asarray(labels.shape[0], jnp.int32),
                     )
                     feats_list.append(pooled)
@@ -665,12 +710,14 @@ class Trainer:
                 logger.info("FDS stats updated on device for epoch %d", epoch)
 
             # ---- validation --------------------------------------------------
+            val_t0 = time.time()
             y_preds, val_losses, metric_score = self.predict(
                 model, params, valid_dataset, loss_fn, activation_fn,
                 dump_dir, fold, target_scaler, collate_fn,
                 epoch=epoch, load_model=False, eval_step=eval_step,
                 loader=valid_loader,
             )
+            val_seconds = time.time() - val_t0
             total_val_loss = _weighted_loss_mean(val_losses)
             first_metric = next(iter(metric_score)) if metric_score else "loss"
             first_score = metric_score.get(first_metric, float("nan"))
@@ -683,6 +730,11 @@ class Trainer:
                 "val_loss": float(total_val_loss),
                 **{f"val_{k}": float(v) for k, v in (metric_score or {}).items()},
                 "seconds": round(time.time() - t0, 2),
+                # phase split: how much of the epoch went to the validation
+                # sweep (the rest is the train loop + metric pull) — keeps
+                # host-bound vs device-bound regressions diagnosable from the
+                # artifact alone
+                "val_seconds": round(val_seconds, 2),
             })
             _write_history(dump_dir, fold, history)
             logger.info(
@@ -708,10 +760,8 @@ class Trainer:
                     improved = True
             if improved:
                 wait = 0
-                best_params = jax.tree.map(jnp.copy, params)
-                best_fds = (
-                    jax.tree.map(jnp.copy, fds_state) if fds_state is not None else None
-                )
+                best_params = _copy_tree(params)
+                best_fds = _copy_tree(fds_state) if fds_state is not None else None
             else:
                 wait += 1
             if self.checkpoint_interval and (epoch + 1) % self.checkpoint_interval == 0:
@@ -774,23 +824,38 @@ class Trainer:
             loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
 
         eval_only = load_model or skip_metrics
-        y_preds, y_truths, val_losses = [], [], []
+        bsh = batch_sharding(self.mesh)
+        pred_parts, loss_parts, valid_ns, y_truths = [], [], [], []
         for batch, labels in loader:
             batch, labels, valid_n = self._pad_to_batch(batch, labels)
             feats, _ = self._split_batch(batch)
-            feats = shard_batch(self.mesh, feats)
-            preds, loss, _, _ = eval_step(
-                params, feats, self._labels_device(labels),
-                jnp.asarray(valid_n, jnp.int32),
+            feats_d, labels_d = jax.device_put(
+                (feats, self._labels_host(labels)), bsh
             )
-            y_preds.append(np.asarray(jax.device_get(preds))[:valid_n])
+            preds, loss, _, _ = eval_step(
+                params, feats_d, labels_d, jnp.asarray(valid_n, jnp.int32),
+            )
+            pred_parts.append(preds)
             y_truths.append(labels[:valid_n])
+            valid_ns.append(valid_n)
             if not eval_only:
-                # (loss over valid rows, row count) — averaged row-weighted so
-                # a padded trailing batch cannot bias early stopping.
-                val_losses.append((float(jax.device_get(loss)), valid_n))
-        y_preds = np.concatenate(y_preds)
+                loss_parts.append(loss)
+        # ONE batched host pull for the whole sweep: the old per-batch
+        # float(device_get(loss)) both paid a tunnel round trip per batch and
+        # hard-synced it, serializing the eval dispatches.
+        bsz = self.batch_size
+        preds_host = np.asarray(jax.device_get(_concat_rows(pred_parts)))
+        y_preds = np.concatenate(
+            [preds_host[i * bsz : i * bsz + n] for i, n in enumerate(valid_ns)]
+        )
         y_truths = np.concatenate(y_truths)
+        if eval_only:
+            val_losses = []
+        else:
+            # (loss over valid rows, row count) — averaged row-weighted so a
+            # padded trailing batch cannot bias early stopping.
+            loss_host = jax.device_get(_stack_scalars(loss_parts))
+            val_losses = [(float(l), n) for l, n in zip(loss_host, valid_ns)]
 
         metric_score = None
         if not eval_only and self.metrics is not None:
