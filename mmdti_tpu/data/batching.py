@@ -191,15 +191,42 @@ class MolDataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _epoch_order(self) -> np.ndarray:
+        """One epoch's sample order (advances the shuffle RNG)."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
         self._epoch += 1
+        return idx
+
+    def __iter__(self):
+        idx = self._epoch_order()
         nb = len(self)
         for b in range(nb):
             sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
             yield self.collate_fn([self.dataset[i] for i in sel])
+
+    def epoch_index_matrix(self):
+        """One epoch's batches as row indices: ([num_batches, batch_size]
+        int32, list of valid row counts).
+
+        Drives the device-resident feed (Trainer device_feed): batch
+        composition is IDENTICAL to __iter__ (same RNG draw), but batches are
+        assembled on device by gathering rows of the resident dataset arrays
+        instead of host collation + transfer.  A trailing partial batch is
+        padded by repeating its last index — the index-level equivalent of
+        Trainer._pad_to_batch's repeat-last-row padding."""
+        idx = self._epoch_order()
+        bs = self.batch_size
+        nb = len(self)
+        rows, valid_ns = [], []
+        for b in range(nb):
+            sel = idx[b * bs : (b + 1) * bs]
+            valid_ns.append(len(sel))
+            if len(sel) < bs:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], bs - len(sel))])
+            rows.append(sel)
+        return np.stack(rows).astype(np.int32), valid_ns
 
 
 class CachedLoader:
@@ -220,6 +247,28 @@ class CachedLoader:
         if self._cache is None:
             self._cache = list(self.loader)
         return iter(self._cache)
+
+
+def collate_dataset(dataset: MolDataset, collate_fn: BatchCollator, chunk: int = 2048):
+    """Collate the ENTIRE dataset into full-length arrays (one-time host cost).
+
+    Feeds the device-resident input path: with static dataset/fixed padding
+    every chunk collates to the same widths, so the concatenated [n, ...]
+    arrays can live on the device and per-step batches become on-device row
+    gathers (no per-epoch tokenization/padding, no per-batch H2D transfer).
+    """
+    if collate_fn.pad_mode not in ("dataset", "fixed"):
+        raise ValueError(
+            f"collate_dataset needs a static pad_mode ('dataset'/'fixed'); "
+            f"got {collate_fn.pad_mode!r} whose widths vary per batch"
+        )
+    parts = [
+        collate_fn([dataset[i] for i in range(s, min(s + chunk, len(dataset)))])
+        for s in range(0, len(dataset), chunk)
+    ]
+    batch = {k: np.concatenate([p[0][k] for p in parts]) for k in parts[0][0]}
+    labels = np.concatenate([p[1] for p in parts])
+    return batch, labels
 
 
 def dataset_pad_lengths(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mmdti_tpu.data.batching import CachedLoader, MolDataLoader
+from mmdti_tpu.data.batching import CachedLoader, MolDataLoader, collate_dataset
 from mmdti_tpu.data.pipeline import prefetch_to_device
 from mmdti_tpu.losses.contrastive import CT_REGISTRY
 from mmdti_tpu.losses.fds import fds_epoch_update
@@ -43,6 +43,7 @@ from mmdti_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     replicate,
+    replicated,
     shard_batch,
 )
 from mmdti_tpu.train.optim import make_optimizer
@@ -243,6 +244,31 @@ def _copy_tree(tree):
     return jax.tree.map(jnp.copy, tree)
 
 
+def _make_batch_loss(loss_fn):
+    """Validation batch loss that ignores padded trailing rows exactly.
+
+    Padded rows repeat the last sample and must not bias the val loss.
+    NaN-maskable losses exclude them exactly by NaN labels; otherwise per-row
+    vmap + row-weighted mean over the first valid_n rows (exact for
+    row-decomposable means: mse/ce/bce)."""
+    if getattr(loss_fn, "nan_maskable", False):
+        def batch_loss(logits, labels, valid_n):
+            keep = jnp.arange(logits.shape[0]) < valid_n
+            keep = keep.reshape((-1,) + (1,) * (labels.ndim - 1))
+            masked = jnp.where(keep, labels.astype(jnp.float32), jnp.nan)
+            return loss_fn(logits, masked)
+    else:
+        def batch_loss(logits, labels, valid_n):
+            keep = (jnp.arange(logits.shape[0]) < valid_n).astype(jnp.float32)
+            per_row = jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(
+                logits, labels
+            )
+            return jnp.sum(per_row * keep) / jnp.maximum(
+                valid_n.astype(jnp.float32), 1.0
+            )
+    return batch_loss
+
+
 def _weighted_loss_mean(val_losses) -> float:
     """Row-weighted mean of per-batch (loss, n_valid_rows) pairs."""
     if not val_losses:
@@ -276,6 +302,15 @@ class Trainer:
         self.resume = bool(params.get("resume", False))
         # train steps fused per device dispatch (amortizes host/RPC latency)
         self.steps_per_call = int(params.get("steps_per_call", 4) or 1)
+        # device-resident input feed: collate the whole dataset once, keep the
+        # arrays in HBM, and turn per-step batching into an on-device row
+        # gather inside the jit'd scan.  Kills the steady-state host work
+        # (tokenize/pad/stack) AND the per-batch H2D transfer that made the
+        # fit loop host-bound (~470 of a possible ~1490 mols/s, fit_probe).
+        # 'auto' engages when padding is static and the estimated resident
+        # bytes fit device_feed_bytes (per device; arrays are replicated).
+        self.device_feed = params.get("device_feed", "auto")
+        self.device_feed_bytes = int(params.get("device_feed_bytes", 1 << 30))
         # gradient accumulation: K micro-batches average into one optimizer
         # update (effective batch = K * batch_size without the activation
         # memory).  Batch-coupled losses (InfoNCE negatives, ConR pairs, GHM
@@ -324,6 +359,64 @@ class Trainer:
         feats = {k: batch[k] for k in _FEATURE_KEYS if k in batch}
         weights = batch.get("weights")
         return feats, weights
+
+    def _feed_engaged(self, collate_fn, *datasets) -> bool:
+        """Decide whether the device-resident input feed runs this fit.
+
+        device_feed=False: never.  True: forced (static padding required —
+        per-batch bucket widths cannot live in one resident array).  'auto'
+        (default): engage when padding is static and the estimated resident
+        bytes (probe-collation extrapolation over all datasets) fit
+        device_feed_bytes per device."""
+        mode = self.device_feed
+        if not mode or mode == "off":
+            return False
+        static = getattr(collate_fn, "pad_mode", None) in ("dataset", "fixed")
+        if not static:
+            if mode is True:
+                raise ValueError(
+                    "device_feed=True requires static padding (pad_mode "
+                    f"'dataset' or 'fixed'); got {getattr(collate_fn, 'pad_mode', None)!r}"
+                )
+            return False
+        if mode is True:
+            return True
+        total = 0
+        for ds in datasets:
+            if len(ds) == 0:
+                continue
+            probe_n = min(len(ds), 64)
+            batch, labels = collate_fn([ds[i] for i in range(probe_n)])
+            feats, weights = self._split_batch(batch)
+            per = sum(a.nbytes for a in feats.values()) + labels.nbytes
+            if weights is not None:
+                per += weights.nbytes
+            total += int(per / probe_n * len(ds))
+        if total > self.device_feed_bytes:
+            logger.info(
+                "device_feed auto-disabled: ~%.0f MB resident inputs exceed "
+                "the %.0f MB cap (device_feed_bytes)",
+                total / 1e6, self.device_feed_bytes / 1e6,
+            )
+            return False
+        return True
+
+    def _dataset_to_device(self, dataset, collate_fn):
+        """Collate the whole dataset once and place it resident (replicated)
+        on the mesh.  Returns (feats, labels, weights) device arrays plus the
+        host label rows (for metrics / truth columns)."""
+        batch, labels = collate_dataset(dataset, collate_fn)
+        feats, weights = self._split_batch(batch)
+        labels_h = self._labels_host(labels)
+        w_h = (
+            np.asarray(weights, np.float32)
+            if weights is not None
+            else np.ones((labels.shape[0], 1), np.float32)
+        )
+        feats_d, labels_d, w_d = jax.device_put(
+            (feats, labels_h, w_h), replicated(self.mesh)
+        )
+        return feats_d, labels_d, w_d, labels
 
     def _pad_to_batch(self, batch, labels):
         """Pad a trailing partial batch up to batch_size (static shapes)."""
@@ -406,8 +499,39 @@ class Trainer:
 
         train_step = partial(jax.jit, donate_argnums=(0, 1))(one_step)
 
+        # device-feed variant: the dataset lives on device (replicated) and
+        # each scan step gathers its batch rows by index — no host collation,
+        # no per-batch H2D.  idx_k: [K, batch] int32.  Dataset arrays are
+        # ARGUMENTS (closing over them would embed them as compile-time
+        # constants — the remote-compile HTTP 413 gotcha, CLAUDE.md).
+        bsh = batch_sharding(self.mesh)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_steps_feed(params, opt_state, fds_state, loss_state,
+                             feats_all, labels_all, weights_all, idx_k,
+                             epoch, rngs_k):
+            def take(x, i):
+                return jax.lax.with_sharding_constraint(
+                    jnp.take(x, i, axis=0), bsh
+                )
+
+            def body(carry, xs):
+                p, o, ls = carry
+                idx, rng = xs
+                feats = {k: take(v, idx) for k, v in feats_all.items()}
+                p, o, ls, m = one_step(
+                    p, o, fds_state, ls, feats, take(labels_all, idx),
+                    take(weights_all, idx), epoch, rng,
+                )
+                return (p, o, ls), m
+
+            (params, opt_state, loss_state), metrics = jax.lax.scan(
+                body, (params, opt_state, loss_state), (idx_k, rngs_k),
+            )
+            return params, opt_state, loss_state, metrics
+
         if steps_per_call <= 1:
-            return train_step, None
+            return train_step, None, train_steps_feed
 
         # multi-step variant: lax.scan over K pre-staged batches per dispatch
         # (amortizes host->device dispatch latency; same math as K single steps)
@@ -426,30 +550,11 @@ class Trainer:
             )
             return params, opt_state, loss_state, metrics
 
-        return train_step, train_steps
+        return train_step, train_steps, train_steps_feed
 
     def build_eval_step(self, model, loss_fn, activation_fn):
         alpha = self.alpha
-
-        # Padded trailing rows must not bias the val loss (they repeat the last
-        # sample).  NaN-maskable losses exclude them exactly by NaN labels;
-        # otherwise per-row vmap + row-weighted mean over the first valid_n
-        # rows (exact for row-decomposable means: mse/ce/bce).
-        if getattr(loss_fn, "nan_maskable", False):
-            def batch_loss(logits, labels, valid_n):
-                keep = jnp.arange(logits.shape[0]) < valid_n
-                keep = keep.reshape((-1,) + (1,) * (labels.ndim - 1))
-                masked = jnp.where(keep, labels.astype(jnp.float32), jnp.nan)
-                return loss_fn(logits, masked)
-        else:
-            def batch_loss(logits, labels, valid_n):
-                keep = (jnp.arange(logits.shape[0]) < valid_n).astype(jnp.float32)
-                per_row = jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(
-                    logits, labels
-                )
-                return jnp.sum(per_row * keep) / jnp.maximum(
-                    valid_n.astype(jnp.float32), 1.0
-                )
+        batch_loss = _make_batch_loss(loss_fn)
 
         @jax.jit
         def eval_step(params, feats, labels, valid_n):
@@ -459,6 +564,45 @@ class Trainer:
             return preds, loss, out["pooled"], out["cls_repr"]
 
         return eval_step
+
+    def build_eval_sweep(self, model, loss_fn, activation_fn):
+        """Full-sweep eval over the device-resident dataset in ONE dispatch.
+
+        lax.scan over [nb, B] index rows of the resident arrays: the whole
+        validation (or FDS feature) pass costs one program dispatch and one
+        batched host pull instead of nb collations + transfers + round trips.
+        Returns (preds [nb,B,...], losses [nb], pooled [nb*B, D],
+        labels_f32 [nb*B, ...]); the last two feed fds_epoch_update directly.
+        """
+        alpha = self.alpha
+        batch_loss = _make_batch_loss(loss_fn)
+        bsh = batch_sharding(self.mesh)
+
+        @jax.jit
+        def eval_sweep(params, feats_all, labels_all, idx_mat, valid_ns):
+            def take(x, i):
+                return jax.lax.with_sharding_constraint(
+                    jnp.take(x, i, axis=0), bsh
+                )
+
+            def body(_, xs):
+                idx, vn = xs
+                feats = {k: take(v, idx) for k, v in feats_all.items()}
+                labels = take(labels_all, idx)
+                out = model.apply({"params": params}, **feats, deterministic=True)
+                preds = activation_fn(out["logits"])
+                loss = alpha * batch_loss(out["logits"], labels, vn)
+                return None, (preds, loss, out["pooled"],
+                              labels.astype(jnp.float32))
+
+            _, (preds, losses, pooled, labels_f) = jax.lax.scan(
+                body, None, (idx_mat, valid_ns)
+            )
+            pooled = pooled.reshape((-1,) + pooled.shape[2:])
+            labels_f = labels_f.reshape((-1,) + labels_f.shape[2:])
+            return preds, losses, pooled, labels_f
+
+        return eval_sweep
 
     # ------------------------------------------------------------------
     def fit_predict(
@@ -508,13 +652,48 @@ class Trainer:
         if fds_state is not None:
             fds_state = replicate(self.mesh, fds_state)
 
-        train_step, train_steps = self.build_train_step(
+        train_step, train_steps, train_steps_feed = self.build_train_step(
             model, tx, loss_fn, use_infonce, use_ct, use_weight, fds_bucket,
             stateful_loss=stateful_loss,
         )
         if loss_state is None:
             loss_state = jnp.zeros((0,), jnp.float32)  # placeholder pytree leaf
         eval_step = self.build_eval_step(model, loss_fn, activation_fn)
+
+        # ---- device-resident input feed (device_feed) --------------------
+        # Collate train+val ONCE, keep the arrays in HBM, and run batching as
+        # on-device row gathers: per-epoch host work and per-batch H2D vanish
+        # (the fit loop was host-bound at ~1/3 of device throughput without
+        # this — scripts/fit_probe.py / collate_probe.py).
+        feed_on = self._feed_engaged(collate_fn, train_dataset, valid_dataset)
+        eval_sweep = None
+        val_device_data = None
+        if feed_on:
+            tr_feats, tr_labels, tr_weights, _ = self._dataset_to_device(
+                train_dataset, collate_fn
+            )
+            eval_sweep = self.build_eval_sweep(model, loss_fn, activation_fn)
+            va_feats, va_labels, _, va_labels_host = self._dataset_to_device(
+                valid_dataset, collate_fn
+            )
+            val_idx, val_valid_ns = MolDataLoader(
+                valid_dataset, self.batch_size, collate_fn
+            ).epoch_index_matrix()
+            val_idx_d, val_ns_d = jax.device_put(
+                (val_idx, np.asarray(val_valid_ns, np.int32)),
+                replicated(self.mesh),
+            )
+            val_device_data = {
+                "feats": va_feats, "labels": va_labels,
+                "idx": val_idx_d, "valid_ns_dev": val_ns_d,
+                "valid_ns": val_valid_ns,
+                "labels_host": va_labels_host,
+                "eval_sweep": eval_sweep,
+            }
+            logger.info(
+                "device_feed engaged: %d train + %d val molecules resident "
+                "on device", len(train_dataset), len(valid_dataset),
+            )
 
         start_epoch = 0
         global_step = 0
@@ -539,6 +718,7 @@ class Trainer:
 
         base_rng = jax.random.PRNGKey(self.seed)
         fds_loader = None
+        fds_idx_dev = fds_ns_dev = None
         valid_loader = CachedLoader(MolDataLoader(valid_dataset, self.batch_size, collate_fn))
         # Device COPIES: the first train step donates `params`/`opt_state`
         # buffers (donate_argnums), so aliasing `params` here would leave
@@ -628,9 +808,31 @@ class Trainer:
                 epoch_metrics.append(m)
                 global_step += 1
 
+            if feed_on:
+                # device-feed path: one [kk, B] int32 index block per
+                # dispatch is the ONLY per-step host work and transfer
+                idx_mat, _ = train_loader.epoch_index_matrix()
+                nb = idx_mat.shape[0]
+                k0 = 0
+                while k0 < nb:
+                    kk = min(max(K, 1), nb - k0)
+                    blk = idx_mat[k0 : k0 + kk]
+                    rngs_k = jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(
+                        jnp.arange(global_step, global_step + kk)
+                    )
+                    dispatch_begin()
+                    params, opt_state, loss_state, m = train_steps_feed(
+                        params, opt_state, fds_state, loss_state,
+                        tr_feats, tr_labels, tr_weights, blk, epoch_f, rngs_k,
+                    )
+                    dispatch_end(m)
+                    epoch_metrics.append(m)
+                    global_step += kk
+                    k0 += kk
+
             pending = []
             pend_sig = None
-            for item in prefetch_to_device(train_loader, put_on_device):
+            for item in [] if feed_on else prefetch_to_device(train_loader, put_on_device):
                 if K <= 1:
                     run_single(item)
                     continue
@@ -680,25 +882,43 @@ class Trainer:
 
             # ---- FDS epoch pass: on-device feature sweep + stats update ----
             if self.fds and fds_state is not None and epoch >= fds_start_update:
-                if fds_loader is None:
-                    fds_loader = CachedLoader(MolDataLoader(
-                        train_dataset, self.batch_size, collate_fn,
-                        shuffle=False, drop_last=True,
-                    ))
-                feats_list, label_list = [], []
-                for batch, labels in fds_loader:
-                    fb, _ = self._split_batch(batch)
-                    fb, labels_d = jax.device_put(
-                        (fb, self._labels_host(labels)), bsh
+                if feed_on:
+                    # one scan dispatch over the resident train arrays
+                    # (same full-batch drop_last order as the loader path)
+                    if fds_idx_dev is None:
+                        n_full = (
+                            len(train_dataset) // self.batch_size
+                        ) * self.batch_size
+                        fi = np.arange(n_full, dtype=np.int32).reshape(
+                            -1, self.batch_size
+                        )
+                        fds_idx_dev, fds_ns_dev = jax.device_put(
+                            (fi, np.full((fi.shape[0],), self.batch_size, np.int32)),
+                            replicated(self.mesh),
+                        )
+                    _, _, all_feats, all_labels = eval_sweep(
+                        params, tr_feats, tr_labels, fds_idx_dev, fds_ns_dev
                     )
-                    _, _, pooled, _ = eval_step(
-                        params, fb, labels_d,
-                        jnp.asarray(labels.shape[0], jnp.int32),
-                    )
-                    feats_list.append(pooled)
-                    label_list.append(jnp.asarray(labels, jnp.float32))
-                all_feats = jnp.concatenate(feats_list, axis=0)
-                all_labels = jnp.concatenate(label_list, axis=0)
+                else:
+                    if fds_loader is None:
+                        fds_loader = CachedLoader(MolDataLoader(
+                            train_dataset, self.batch_size, collate_fn,
+                            shuffle=False, drop_last=True,
+                        ))
+                    feats_list, label_list = [], []
+                    for batch, labels in fds_loader:
+                        fb, _ = self._split_batch(batch)
+                        fb, labels_d = jax.device_put(
+                            (fb, self._labels_host(labels)), bsh
+                        )
+                        _, _, pooled, _ = eval_step(
+                            params, fb, labels_d,
+                            jnp.asarray(labels.shape[0], jnp.int32),
+                        )
+                        feats_list.append(pooled)
+                        label_list.append(jnp.asarray(labels, jnp.float32))
+                    all_feats = jnp.concatenate(feats_list, axis=0)
+                    all_labels = jnp.concatenate(label_list, axis=0)
                 # single compiled program (see fds_epoch_update docstring:
                 # eager per-op dispatch can starve the XLA:CPU collective
                 # rendezvous on virtual-device meshes and abort the process)
@@ -715,7 +935,7 @@ class Trainer:
                 model, params, valid_dataset, loss_fn, activation_fn,
                 dump_dir, fold, target_scaler, collate_fn,
                 epoch=epoch, load_model=False, eval_step=eval_step,
-                loader=valid_loader,
+                loader=valid_loader, device_data=val_device_data,
             )
             val_seconds = time.time() - val_t0
             total_val_loss = _weighted_loss_mean(val_losses)
@@ -793,6 +1013,7 @@ class Trainer:
             model, params, valid_dataset, loss_fn, activation_fn,
             dump_dir, fold, target_scaler, collate_fn, load_model=True,
             eval_step=eval_step, loader=valid_loader,
+            device_data=val_device_data,
         )
         return y_preds
 
@@ -813,49 +1034,77 @@ class Trainer:
         eval_step=None,
         loader=None,
         skip_metrics: bool = False,
+        device_data=None,
     ):
         if load_model:
             ckpt = load_checkpoint(dump_dir, fold)
             params = self._place_params(ckpt["params"])
             logger.info("load model success!")
-        if eval_step is None:
-            eval_step = self.build_eval_step(model, loss_fn, activation_fn)
-        if loader is None:
-            loader = MolDataLoader(dataset, self.batch_size, collate_fn, shuffle=False)
 
         eval_only = load_model or skip_metrics
-        bsh = batch_sharding(self.mesh)
-        pred_parts, loss_parts, valid_ns, y_truths = [], [], [], []
-        for batch, labels in loader:
-            batch, labels, valid_n = self._pad_to_batch(batch, labels)
-            feats, _ = self._split_batch(batch)
-            feats_d, labels_d = jax.device_put(
-                (feats, self._labels_host(labels)), bsh
+        if device_data is not None:
+            # device-resident sweep (fit's device_feed): ONE scan dispatch
+            # over the resident arrays + one batched host pull
+            valid_ns = device_data["valid_ns"]
+            preds_nb, losses_nb, _, _ = device_data["eval_sweep"](
+                params, device_data["feats"], device_data["labels"],
+                device_data["idx"], device_data["valid_ns_dev"],
             )
-            preds, loss, _, _ = eval_step(
-                params, feats_d, labels_d, jnp.asarray(valid_n, jnp.int32),
+            if eval_only:
+                preds_host = np.asarray(jax.device_get(preds_nb))
+                val_losses = []
+            else:
+                preds_host, loss_host = jax.device_get((preds_nb, losses_nb))
+                preds_host = np.asarray(preds_host)
+                val_losses = [
+                    (float(l), n) for l, n in zip(loss_host, valid_ns)
+                ]
+            y_preds = np.concatenate(
+                [preds_host[i, :n] for i, n in enumerate(valid_ns)]
             )
-            pred_parts.append(preds)
-            y_truths.append(labels[:valid_n])
-            valid_ns.append(valid_n)
-            if not eval_only:
-                loss_parts.append(loss)
-        # ONE batched host pull for the whole sweep: the old per-batch
-        # float(device_get(loss)) both paid a tunnel round trip per batch and
-        # hard-synced it, serializing the eval dispatches.
-        bsz = self.batch_size
-        preds_host = np.asarray(jax.device_get(_concat_rows(pred_parts)))
-        y_preds = np.concatenate(
-            [preds_host[i * bsz : i * bsz + n] for i, n in enumerate(valid_ns)]
-        )
-        y_truths = np.concatenate(y_truths)
-        if eval_only:
-            val_losses = []
+            # loader order == dataset order (no shuffle): truths are the
+            # host label rows as-is
+            y_truths = device_data["labels_host"]
         else:
-            # (loss over valid rows, row count) — averaged row-weighted so a
-            # padded trailing batch cannot bias early stopping.
-            loss_host = jax.device_get(_stack_scalars(loss_parts))
-            val_losses = [(float(l), n) for l, n in zip(loss_host, valid_ns)]
+            if eval_step is None:
+                eval_step = self.build_eval_step(model, loss_fn, activation_fn)
+            if loader is None:
+                loader = MolDataLoader(
+                    dataset, self.batch_size, collate_fn, shuffle=False
+                )
+
+            bsh = batch_sharding(self.mesh)
+            pred_parts, loss_parts, valid_ns, y_truths = [], [], [], []
+            for batch, labels in loader:
+                batch, labels, valid_n = self._pad_to_batch(batch, labels)
+                feats, _ = self._split_batch(batch)
+                feats_d, labels_d = jax.device_put(
+                    (feats, self._labels_host(labels)), bsh
+                )
+                preds, loss, _, _ = eval_step(
+                    params, feats_d, labels_d, jnp.asarray(valid_n, jnp.int32),
+                )
+                pred_parts.append(preds)
+                y_truths.append(labels[:valid_n])
+                valid_ns.append(valid_n)
+                if not eval_only:
+                    loss_parts.append(loss)
+            # ONE batched host pull for the whole sweep: the old per-batch
+            # float(device_get(loss)) both paid a tunnel round trip per batch
+            # and hard-synced it, serializing the eval dispatches.
+            bsz = self.batch_size
+            preds_host = np.asarray(jax.device_get(_concat_rows(pred_parts)))
+            y_preds = np.concatenate(
+                [preds_host[i * bsz : i * bsz + n] for i, n in enumerate(valid_ns)]
+            )
+            y_truths = np.concatenate(y_truths)
+            if eval_only:
+                val_losses = []
+            else:
+                # (loss over valid rows, row count) — averaged row-weighted so
+                # a padded trailing batch cannot bias early stopping.
+                loss_host = jax.device_get(_stack_scalars(loss_parts))
+                val_losses = [(float(l), n) for l, n in zip(loss_host, valid_ns)]
 
         metric_score = None
         if not eval_only and self.metrics is not None:

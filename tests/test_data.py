@@ -227,6 +227,57 @@ class TestCollation:
         order2 = [labels.tolist() for _, labels in MolDataLoader(ds, 2, coll, shuffle=True, seed=5)]
         assert order1 == order2
 
+    def test_epoch_index_matrix_matches_iter(self):
+        """Device-feed batch composition must equal the loader's (same RNG
+        stream), across multiple epochs."""
+        feats = self._features(7)
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="dataset",
+                             atom_pad=16, smiles_pad=24)
+        ds = MolDataset(feats, np.arange(7).reshape(-1, 1))
+        dl_iter = MolDataLoader(ds, 2, coll, shuffle=True, drop_last=True, seed=3)
+        dl_idx = MolDataLoader(ds, 2, coll, shuffle=True, drop_last=True, seed=3)
+        for _ in range(3):  # RNG advances identically epoch over epoch
+            iter_labels = [labels[:, 0].tolist() for _, labels in dl_iter]
+            idx_mat, valid_ns = dl_idx.epoch_index_matrix()
+            assert idx_mat.shape == (3, 2) and valid_ns == [2, 2, 2]
+            assert [ds.labels[row, 0].tolist() for row in idx_mat] == iter_labels
+
+    def test_epoch_index_matrix_pads_partial_tail(self):
+        """Without drop_last the tail batch repeats its last index — the
+        index-level twin of Trainer._pad_to_batch."""
+        feats = self._features(5)
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="dataset",
+                             atom_pad=16, smiles_pad=24)
+        ds = MolDataset(feats, np.arange(5).reshape(-1, 1))
+        idx_mat, valid_ns = MolDataLoader(ds, 2, coll).epoch_index_matrix()
+        assert idx_mat.shape == (3, 2) and valid_ns == [2, 2, 1]
+        assert idx_mat[-1].tolist() == [4, 4]
+
+    def test_collate_dataset_matches_batched_collation(self):
+        from mmdti_tpu.data.batching import collate_dataset
+
+        feats = self._features(6)
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="dataset",
+                             atom_pad=16, smiles_pad=24)
+        ds = MolDataset(feats, np.arange(6).reshape(-1, 1))
+        full, labels = collate_dataset(ds, coll, chunk=4)  # forces 2 chunks
+        per_batch = list(MolDataLoader(ds, 2, coll))
+        for k in full:
+            want = np.concatenate([b[0][k] for b in per_batch])
+            np.testing.assert_array_equal(full[k], want)
+        np.testing.assert_array_equal(
+            labels, np.concatenate([b[1] for b in per_batch])
+        )
+
+    def test_collate_dataset_rejects_nonstatic_padding(self):
+        from mmdti_tpu.data.batching import collate_dataset
+
+        feats = self._features(4)
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="ragged")
+        ds = MolDataset(feats, np.zeros((4, 1)))
+        with pytest.raises(ValueError, match="static pad_mode"):
+            collate_dataset(ds, coll)
+
 
 class TestDatasetPadLengths:
     def test_truncation_bounds_smiles_pad(self):

@@ -238,3 +238,49 @@ class TestScanFusionEquivalence:
             m.fit(train_p, val_p)
             preds[spc] = np.asarray(m.cv_pred)
         np.testing.assert_allclose(preds[1], preds[3], atol=1e-6)
+
+
+class TestDeviceFeedEquivalence:
+    def test_device_feed_preserves_training(self, tiny_csv_module, tmp_path):
+        """The device-resident feed (on-device row gathers from resident
+        dataset arrays) must reproduce the host loader path exactly: same
+        shuffle stream, same step math, same validation sweep.  FDS is on so
+        the feed's fused FDS sweep is part of the equivalence."""
+        import json
+
+        from mmdti_tpu import MolTrain
+
+        train_p, val_p, _ = tiny_csv_module
+        preds, hist = {}, {}
+        for feed in (False, True):
+            exp = str(tmp_path / f"exp_feed{feed}")
+            m = MolTrain(
+                task="regression", epochs=2, batch_size=8, metrics="mse",
+                smiles_col="smiles", save_path=exp, target_cols=["measured"],
+                seed=0, compute_dtype="float32", use_pallas=False,
+                using_infonce=True, using_ct=True, use_weight=True,
+                fds=True, fds_num=8, raw_data=train_p, fds_raw_path=train_p,
+                fds_col_data="measured", device_feed=feed, **SMALL_ARCH,
+            )
+            m.fit(train_p, val_p)
+            preds[feed] = np.asarray(m.cv_pred)
+            with open(os.path.join(exp, "history_0.json")) as f:
+                hist[feed] = json.load(f)
+        np.testing.assert_allclose(preds[False], preds[True], atol=1e-6)
+        for row_a, row_b in zip(hist[False], hist[True]):
+            for k in ("train_loss", "m_loss", "val_loss", "val_mse"):
+                assert abs(row_a[k] - row_b[k]) < 1e-5, (k, row_a, row_b)
+
+    def test_device_feed_true_requires_static_padding(self, tiny_csv_module, tmp_path):
+        from mmdti_tpu import MolTrain
+
+        train_p, val_p, _ = tiny_csv_module
+        m = MolTrain(
+            task="regression", epochs=1, batch_size=8, metrics="mse",
+            smiles_col="smiles", save_path=str(tmp_path / "exp"),
+            target_cols=["measured"], seed=0, compute_dtype="float32",
+            use_pallas=False, device_feed=True, pad_mode="bucket",
+            **SMALL_ARCH,
+        )
+        with pytest.raises(ValueError, match="static padding"):
+            m.fit(train_p, val_p)
