@@ -392,10 +392,19 @@ class NNModel:
         ckpt = load_checkpoint(checkpoints_path, 0)
         self.params = trainer._place_params(ckpt["params"])
         logger.info("load model success!")
+        # bulk inference uses the device-resident sweep when it fits: ONE
+        # scan dispatch + one batched pull instead of per-batch collation,
+        # transfer, and dispatch (same gate as the fit loop's device_feed)
+        device_data = None
+        if trainer._feed_engaged(self.collator, testdataset):
+            device_data = trainer.build_eval_device_data(
+                self.model_infer, testdataset, self.collator,
+                self.loss_func, self.activation_fn,
+            )
         y_pred, _, _ = trainer.predict(
             self.model_infer, self.params, testdataset, self.loss_func, self.activation_fn,
             checkpoints_path, 0, self.target_scaler, self.collator,
-            load_model=False, skip_metrics=True,
+            load_model=False, skip_metrics=True, device_data=device_data,
         )
         self.cv["test_pred"] = y_pred
         return y_pred

@@ -418,6 +418,28 @@ class Trainer:
         )
         return feats_d, labels_d, w_d, labels
 
+    def build_eval_device_data(self, model, dataset, collate_fn, loss_fn,
+                               activation_fn, eval_sweep=None):
+        """Assemble the device-resident eval bundle consumed by
+        predict(device_data=...): resident arrays + batch index matrix +
+        the jit'd sweep."""
+        feats_d, labels_d, _, labels_host = self._dataset_to_device(
+            dataset, collate_fn
+        )
+        idx, valid_ns = MolDataLoader(
+            dataset, self.batch_size, collate_fn
+        ).epoch_index_matrix()
+        idx_d, ns_d = jax.device_put(
+            (idx, np.asarray(valid_ns, np.int32)), replicated(self.mesh)
+        )
+        return {
+            "feats": feats_d, "labels": labels_d,
+            "idx": idx_d, "valid_ns_dev": ns_d, "valid_ns": valid_ns,
+            "labels_host": labels_host,
+            "eval_sweep": eval_sweep
+            or self.build_eval_sweep(model, loss_fn, activation_fn),
+        }
+
     def _pad_to_batch(self, batch, labels):
         """Pad a trailing partial batch up to batch_size (static shapes)."""
         n = labels.shape[0]
@@ -673,23 +695,10 @@ class Trainer:
                 train_dataset, collate_fn
             )
             eval_sweep = self.build_eval_sweep(model, loss_fn, activation_fn)
-            va_feats, va_labels, _, va_labels_host = self._dataset_to_device(
-                valid_dataset, collate_fn
+            val_device_data = self.build_eval_device_data(
+                model, valid_dataset, collate_fn, loss_fn, activation_fn,
+                eval_sweep=eval_sweep,
             )
-            val_idx, val_valid_ns = MolDataLoader(
-                valid_dataset, self.batch_size, collate_fn
-            ).epoch_index_matrix()
-            val_idx_d, val_ns_d = jax.device_put(
-                (val_idx, np.asarray(val_valid_ns, np.int32)),
-                replicated(self.mesh),
-            )
-            val_device_data = {
-                "feats": va_feats, "labels": va_labels,
-                "idx": val_idx_d, "valid_ns_dev": val_ns_d,
-                "valid_ns": val_valid_ns,
-                "labels_host": va_labels_host,
-                "eval_sweep": eval_sweep,
-            }
             logger.info(
                 "device_feed engaged: %d train + %d val molecules resident "
                 "on device", len(train_dataset), len(valid_dataset),

@@ -195,6 +195,19 @@ class TestPredict:
         y2 = MolPredict(load_model=exp).predict(val_p)
         np.testing.assert_allclose(y1, y2, atol=1e-6)
 
+    def test_device_feed_sweep_matches_loader(self, trained_exp, tmp_path):
+        """Bulk inference through the device-resident sweep (feed auto-on)
+        equals the per-batch host loader path."""
+        exp, _, val_p = trained_exp
+        from mmdti_tpu import MolPredict
+
+        p_feed = MolPredict(load_model=exp)
+        y_feed = p_feed.predict(val_p)
+        p_loader = MolPredict(load_model=exp)
+        p_loader.config.device_feed = False
+        y_loader = p_loader.predict(val_p)
+        np.testing.assert_allclose(y_feed, y_loader, atol=1e-6)
+
 
 class TestProfiler:
     def test_profile_dir_produces_trace(self, tiny_csv_module, tmp_path):
