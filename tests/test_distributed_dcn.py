@@ -67,6 +67,24 @@ g = shard_batch(mesh, {{"y": full}})
 out2 = global_mean(g["y"])
 rep2 = jax.device_get(jax.device_put(out2, NamedSharding(mesh, P())))
 print("REPLICATED_FEED_MEAN", float(rep2), flush=True)
+
+# device_feed mechanism under multi-host: a resident REPLICATED dataset
+# (every host holds the same rows) + an on-device row gather constrained to
+# the 'data' axis — the in-jit batching the trainer's device_feed runs
+data = np.arange(32, dtype=np.float32).reshape(16, 2)
+resident = jax.device_put(data, NamedSharding(mesh, P()))
+idx = np.asarray([3, 5, 7, 9, 2, 4, 6, 8], np.int32)
+
+@jax.jit
+def gather_mean(d, i):
+    rows = jax.lax.with_sharding_constraint(
+        jnp.take(d, i, axis=0), NamedSharding(mesh, P("data"))
+    )
+    return jnp.mean(rows)
+
+out3 = gather_mean(resident, idx)
+rep3 = jax.device_get(jax.device_put(out3, NamedSharding(mesh, P())))
+print("FEED_GATHER_MEAN", float(rep3), flush=True)
 """
 
 
@@ -110,3 +128,9 @@ def test_two_process_dcn_global_batch(tmp_path):
         line = [l for l in out.splitlines()
                 if l.startswith("REPLICATED_FEED_MEAN")][0]
         np.testing.assert_allclose(float(line.split()[1]), want, rtol=1e-6)
+        # gather of rows [3,5,7,9,2,4,6,8] from arange(32).reshape(16,2)
+        data = np.arange(32, dtype=np.float32).reshape(16, 2)
+        want_gather = float(np.mean(data[[3, 5, 7, 9, 2, 4, 6, 8]]))
+        line = [l for l in out.splitlines()
+                if l.startswith("FEED_GATHER_MEAN")][0]
+        np.testing.assert_allclose(float(line.split()[1]), want_gather, rtol=1e-6)
