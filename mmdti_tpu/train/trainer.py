@@ -22,6 +22,7 @@ re-designed TPU-first:
 from __future__ import annotations
 
 import os
+import threading
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional
@@ -173,6 +174,43 @@ def load_train_state(dump_dir, fold, opt_state_template):
     return raw["params"], opt_state, fds, int(raw["epoch"]), int(raw["global_step"]), extra
 
 
+class _AsyncSaver:
+    """Background train-state writer (one in-flight save at a time).
+
+    A periodic checkpoint_interval save costs a full device->host pull of
+    params+optimizer (~GB) plus serialization — tens of seconds on thin host
+    links — and used to stall the epoch loop for all of it.  The loop now
+    snapshots on DEVICE (one jit'd copy, milliseconds) and hands the
+    pull+write to this thread.  submit() joins the previous save first, so
+    at most one snapshot's extra HBM is held; a failed write re-raises at
+    the next submit()/wait() instead of vanishing in the thread."""
+
+    def __init__(self):
+        self._thread = None
+        self._exc = None
+
+    def submit(self, fn) -> None:
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # propagate on next join
+                self._exc = e
+
+        t = threading.Thread(target=run, daemon=True, name="mmdti-ckpt-writer")
+        t.start()
+        self._thread = t
+
+    def wait(self) -> None:
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+
 def history_path(dump_dir: str, fold: int) -> str:
     return os.path.join(dump_dir, f"history_{fold}.json")
 
@@ -299,6 +337,9 @@ class Trainer:
         # full-state checkpointing every N epochs (0 = off) + resume
         self.checkpoint_interval = int(params.get("checkpoint_interval", 0) or 0)
         self.checkpoint_backend = params.get("checkpoint_backend", "msgpack")
+        # periodic saves run in a background writer thread by default (the
+        # device->host pull + serialize otherwise stalls the epoch loop)
+        self.async_checkpoint = bool(params.get("async_checkpoint", True))
         self.resume = bool(params.get("resume", False))
         # train steps fused per device dispatch (amortizes host/RPC latency)
         self.steps_per_call = int(params.get("steps_per_call", 4) or 1)
@@ -757,6 +798,7 @@ class Trainer:
                     best_score = es["best_score"]
 
         bsh = batch_sharding(self.mesh)
+        ckpt_saver = _AsyncSaver()
 
         def put_on_device(item):
             """H2D transfer for one batch (runs inside the prefetch window).
@@ -994,16 +1036,34 @@ class Trainer:
             else:
                 wait += 1
             if self.checkpoint_interval and (epoch + 1) % self.checkpoint_interval == 0:
-                save_train_state(
-                    dump_dir, fold, params, opt_state, fds_state, epoch, global_step,
-                    best_params=best_params,
-                    early_stop={
-                        "min_val_loss": min_val_loss,
-                        "wait": wait,
-                        "best_score": float("nan") if best_score is None else best_score,
-                    },
-                    loss_state=loss_state,
-                )
+                early_stop = {
+                    "min_val_loss": min_val_loss,
+                    "wait": wait,
+                    "best_score": float("nan") if best_score is None else best_score,
+                }
+                if self.async_checkpoint:
+                    # device-side snapshot (ms), then pull+write off-thread.
+                    # Copies are required regardless: the live params/opt
+                    # buffers are donated into the next dispatch while the
+                    # writer still reads them.  best_params is already a
+                    # stable copy — the closure pins this epoch's tree even
+                    # if a later epoch rebinds the name.
+                    snap = (
+                        _copy_tree(params), _copy_tree(opt_state),
+                        _copy_tree(fds_state) if fds_state is not None else None,
+                        _copy_tree(loss_state),
+                    )
+                    ckpt_saver.submit(partial(
+                        save_train_state, dump_dir, fold, snap[0], snap[1],
+                        snap[2], epoch, global_step, best_params=best_params,
+                        early_stop=early_stop, loss_state=snap[3],
+                    ))
+                else:
+                    save_train_state(
+                        dump_dir, fold, params, opt_state, fds_state, epoch,
+                        global_step, best_params=best_params,
+                        early_stop=early_stop, loss_state=loss_state,
+                    )
             if wait >= self.patience:
                 logger.warning("Early stopping at epoch: %d", epoch + 1)
                 break
@@ -1012,6 +1072,9 @@ class Trainer:
             jax.profiler.stop_trace()
             logger.info("Profiler trace written to %s", self.profile_dir)
 
+        # in-flight periodic save must land (and surface any write error)
+        # before fit returns its artifacts
+        ckpt_saver.wait()
         save_checkpoint(dump_dir, fold, best_params, best_fds,
                         backend=self.checkpoint_backend)
         # final predict with best weights (reload from the just-written

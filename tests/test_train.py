@@ -239,6 +239,32 @@ class TestResume:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class TestAsyncSaver:
+    def test_error_propagates_on_wait(self):
+        from mmdti_tpu.train.trainer import _AsyncSaver
+
+        s = _AsyncSaver()
+
+        def boom():
+            raise RuntimeError("disk full")
+
+        s.submit(boom)
+        with pytest.raises(RuntimeError, match="disk full"):
+            s.wait()
+
+    def test_submissions_serialize(self):
+        import time as _t
+
+        from mmdti_tpu.train.trainer import _AsyncSaver
+
+        order = []
+        s = _AsyncSaver()
+        s.submit(lambda: (_t.sleep(0.05), order.append("a")))
+        s.submit(lambda: order.append("b"))  # must join the first save
+        s.wait()
+        assert order == ["a", "b"]
+
+
 class TestResumeE2E:
     def test_resume_continues_and_history_is_complete(self, tmp_path):
         """Full-API resume: a second MolTrain(resume=True) run picks up from
