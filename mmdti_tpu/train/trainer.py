@@ -243,32 +243,21 @@ def _load_history(dump_dir: Optional[str], fold: int, upto_epoch: int):
 
 
 @jax.jit
-def _epoch_metric_means(metrics_list):
-    """Per-key mean over a list of per-step metric dicts, as ONE program.
-
-    Two reasons this is jit'd: (a) one host pull of a few scalars instead of
-    a device_get per metric per step (hundreds of tunnel round trips per
-    epoch); (b) eager multi-op sequences on sharded arrays can starve the
-    XLA:CPU cross-program collective rendezvous on virtual-device meshes
-    (see losses/fds.py fds_epoch_update)."""
-    return {
-        k: jnp.mean(jnp.concatenate(
-            [jnp.atleast_1d(m[k]).ravel() for m in metrics_list]
-        ))
-        for k in metrics_list[0]
-    }
+def _metric_sums(m):
+    """Per-key sum of one dispatch's metrics (scalar or [K] from the scan)."""
+    return {k: jnp.sum(v) for k, v in m.items()}
 
 
-@jax.jit
-def _concat_rows(parts):
-    """jit'd row concatenation of per-batch device outputs (single program —
-    same rendezvous-safety rationale as _epoch_metric_means)."""
-    return jnp.concatenate(parts, axis=0)
+@partial(jax.jit, donate_argnums=(0,))
+def _metric_acc(acc, m):
+    """Fold one dispatch's metric sums into the running per-key totals.
 
-
-@jax.jit
-def _stack_scalars(parts):
-    return jnp.stack(parts)
+    Fixed arity on purpose: the per-epoch reduction stays O(1) in dataset
+    size — an N-ary epoch-end program would retrace per step count and ship
+    an HLO with one parameter per step (the remote-compile request-size
+    gotcha at scale).  The division by the host-tracked step count happens
+    on host after ONE scalar pull per key."""
+    return {k: acc[k] + jnp.sum(m[k]) for k in m}
 
 
 @jax.jit
@@ -305,6 +294,31 @@ def _make_batch_loss(loss_fn):
                 valid_n.astype(jnp.float32), 1.0
             )
     return batch_loss
+
+
+def _normalize_device_feed(value):
+    """Map every accepted device_feed spelling onto {'auto', True, False}.
+
+    YAML/CLI round trips turn booleans into strings; a truthy 'false' or
+    'off' silently behaving as auto (or a 'true' that only *requests* the
+    feed) would be a misconfiguration the user never sees."""
+    if isinstance(value, str):
+        v = value.strip().lower()
+        if v == "auto":
+            return "auto"
+        if v in ("true", "on", "1", "yes"):
+            return True
+        if v in ("false", "off", "0", "no", ""):
+            return False
+        raise ValueError(
+            f"device_feed={value!r} not understood: expected 'auto', "
+            "True/'true'/'on', or False/'false'/'off'"
+        )
+    if value is None:
+        return False
+    if isinstance(value, (bool, int)):
+        return bool(value)
+    raise ValueError(f"device_feed={value!r} not understood")
 
 
 def _weighted_loss_mean(val_losses) -> float:
@@ -350,7 +364,9 @@ class Trainer:
         # fit loop host-bound (~470 of a possible ~1490 mols/s, fit_probe).
         # 'auto' engages when padding is static and the estimated resident
         # bytes fit device_feed_bytes (per device; arrays are replicated).
-        self.device_feed = params.get("device_feed", "auto")
+        # Normalized strictly up front: truthy non-bool spellings ('true',
+        # 1, 'off', ...) must not silently fall into auto semantics.
+        self.device_feed = _normalize_device_feed(params.get("device_feed", "auto"))
         self.device_feed_bytes = int(params.get("device_feed_bytes", 1 << 30))
         # gradient accumulation: K micro-batches average into one optimizer
         # update (effective batch = K * batch_size without the activation
@@ -409,8 +425,8 @@ class Trainer:
         (default): engage when padding is static and the estimated resident
         bytes (probe-collation extrapolation over all datasets) fit
         device_feed_bytes per device."""
-        mode = self.device_feed
-        if not mode or mode == "off":
+        mode = self.device_feed  # {'auto', True, False} post-normalization
+        if mode is False:
             return False
         static = getattr(collate_fn, "pad_mode", None) in ("dataset", "fixed")
         if not static:
@@ -426,7 +442,9 @@ class Trainer:
         for ds in datasets:
             if len(ds) == 0:
                 continue
-            probe_n = min(len(ds), 64)
+            # under static pads every collated row has identical bytes, so a
+            # tiny probe gives the EXACT per-row size
+            probe_n = min(len(ds), 8)
             batch, labels = collate_fn([ds[i] for i in range(probe_n)])
             feats, weights = self._split_batch(batch)
             per = sum(a.nbytes for a in feats.values()) + labels.nbytes
@@ -628,15 +646,17 @@ class Trainer:
 
         return eval_step
 
-    def build_eval_sweep(self, model, loss_fn, activation_fn):
+    def build_eval_sweep(self, model, loss_fn, activation_fn,
+                         with_pooled: bool = False):
         """Full-sweep eval over the device-resident dataset in ONE dispatch.
 
         lax.scan over [nb, B] index rows of the resident arrays: the whole
         validation (or FDS feature) pass costs one program dispatch and one
         batched host pull instead of nb collations + transfers + round trips.
-        Returns (preds [nb,B,...], losses [nb], pooled [nb*B, D],
-        labels_f32 [nb*B, ...]); the last two feed fds_epoch_update directly.
-        """
+        Returns (preds [nb,B,...], losses [nb]); with_pooled=True (the FDS
+        feature sweep) additionally returns (pooled [nb*B, D], labels_f32
+        [nb*B, ...]) for fds_epoch_update — validation/predict sweeps skip
+        those outputs so no O(n·D) stack is materialized in HBM."""
         alpha = self.alpha
         batch_loss = _make_batch_loss(loss_fn)
         bsh = batch_sharding(self.mesh)
@@ -655,12 +675,15 @@ class Trainer:
                 out = model.apply({"params": params}, **feats, deterministic=True)
                 preds = activation_fn(out["logits"])
                 loss = alpha * batch_loss(out["logits"], labels, vn)
-                return None, (preds, loss, out["pooled"],
-                              labels.astype(jnp.float32))
+                ys = (preds, loss)
+                if with_pooled:
+                    ys += (out["pooled"], labels.astype(jnp.float32))
+                return None, ys
 
-            _, (preds, losses, pooled, labels_f) = jax.lax.scan(
-                body, None, (idx_mat, valid_ns)
-            )
+            _, ys = jax.lax.scan(body, None, (idx_mat, valid_ns))
+            if not with_pooled:
+                return ys
+            preds, losses, pooled, labels_f = ys
             pooled = pooled.reshape((-1,) + pooled.shape[2:])
             labels_f = labels_f.reshape((-1,) + labels_f.shape[2:])
             return preds, losses, pooled, labels_f
@@ -768,7 +791,7 @@ class Trainer:
 
         base_rng = jax.random.PRNGKey(self.seed)
         fds_loader = None
-        fds_idx_dev = fds_ns_dev = None
+        fds_idx_dev = fds_ns_dev = fds_sweep = None
         valid_loader = CachedLoader(MolDataLoader(valid_dataset, self.batch_size, collate_fn))
         # Device COPIES: the first train step donates `params`/`opt_state`
         # buffers (donate_argnums), so aliasing `params` here would leave
@@ -843,8 +866,16 @@ class Trainer:
         K = self.steps_per_call if train_steps is not None else 1
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
-            epoch_metrics = []
+            metric_acc, metric_count = None, 0
             epoch_f = jnp.asarray(epoch, jnp.float32)
+
+            def accumulate(m, n):
+                nonlocal metric_acc, metric_count
+                metric_acc = (
+                    _metric_sums(m) if metric_acc is None
+                    else _metric_acc(metric_acc, m)
+                )
+                metric_count += n
 
             def run_single(item):
                 nonlocal params, opt_state, loss_state, global_step
@@ -856,7 +887,7 @@ class Trainer:
                     w_d, epoch_f, rng,
                 )
                 dispatch_end(m)
-                epoch_metrics.append(m)
+                accumulate(m, 1)
                 global_step += 1
 
             if feed_on:
@@ -877,7 +908,7 @@ class Trainer:
                         tr_feats, tr_labels, tr_weights, blk, epoch_f, rngs_k,
                     )
                     dispatch_end(m)
-                    epoch_metrics.append(m)
+                    accumulate(m, kk)
                     global_step += kk
                     k0 += kk
 
@@ -911,7 +942,7 @@ class Trainer:
                         feats_k, labels_k, w_k, epoch_f, rngs_k,
                     )
                     dispatch_end(m)
-                    epoch_metrics.append(m)
+                    accumulate(m, K)
                     global_step += K
                     pending = []
             for it in pending:
@@ -924,11 +955,12 @@ class Trainer:
                 )
                 step_timer = StepTimer()
 
-            # Reduce the per-step metrics ON DEVICE and pull one scalar per
-            # key (see _epoch_metric_means).
+            # Per-step metrics were summed on device as they streamed by
+            # (_metric_acc); pull one scalar per key and divide by the
+            # host-tracked step count.
             train_means = {
-                k: float(v)
-                for k, v in jax.device_get(_epoch_metric_means(epoch_metrics)).items()
+                k: float(v) / max(metric_count, 1)
+                for k, v in jax.device_get(metric_acc).items()
             }
 
             # ---- FDS epoch pass: on-device feature sweep + stats update ----
@@ -947,7 +979,10 @@ class Trainer:
                             (fi, np.full((fi.shape[0],), self.batch_size, np.int32)),
                             replicated(self.mesh),
                         )
-                    _, _, all_feats, all_labels = eval_sweep(
+                        fds_sweep = self.build_eval_sweep(
+                            model, loss_fn, activation_fn, with_pooled=True
+                        )
+                    _, _, all_feats, all_labels = fds_sweep(
                         params, tr_feats, tr_labels, fds_idx_dev, fds_ns_dev
                     )
                 else:
@@ -1053,11 +1088,21 @@ class Trainer:
                         _copy_tree(fds_state) if fds_state is not None else None,
                         _copy_tree(loss_state),
                     )
-                    ckpt_saver.submit(partial(
+                    save_fn = partial(
                         save_train_state, dump_dir, fold, snap[0], snap[1],
                         snap[2], epoch, global_step, best_params=best_params,
                         early_stop=early_stop, loss_state=snap[3],
-                    ))
+                    )
+                    try:
+                        ckpt_saver.submit(save_fn)
+                    except Exception:
+                        # a transient failure of the PREVIOUS save must not
+                        # abort training; this epoch's save still runs
+                        logger.exception(
+                            "previous periodic train-state save failed; "
+                            "training continues"
+                        )
+                        ckpt_saver.submit(save_fn)
                 else:
                     save_train_state(
                         dump_dir, fold, params, opt_state, fds_state, epoch,
@@ -1072,9 +1117,16 @@ class Trainer:
             jax.profiler.stop_trace()
             logger.info("Profiler trace written to %s", self.profile_dir)
 
-        # in-flight periodic save must land (and surface any write error)
-        # before fit returns its artifacts
-        ckpt_saver.wait()
+        # in-flight periodic save must land before fit returns its artifacts;
+        # a deferred write failure is logged, NOT raised — it must not destroy
+        # the final best checkpoint of an otherwise completed run
+        try:
+            ckpt_saver.wait()
+        except Exception:
+            logger.exception(
+                "periodic train-state save failed; still writing the final "
+                "best checkpoint"
+            )
         save_checkpoint(dump_dir, fold, best_params, best_fds,
                         backend=self.checkpoint_backend)
         # final predict with best weights (reload from the just-written
@@ -1118,7 +1170,7 @@ class Trainer:
             # device-resident sweep (fit's device_feed): ONE scan dispatch
             # over the resident arrays + one batched host pull
             valid_ns = device_data["valid_ns"]
-            preds_nb, losses_nb, _, _ = device_data["eval_sweep"](
+            preds_nb, losses_nb = device_data["eval_sweep"](
                 params, device_data["feats"], device_data["labels"],
                 device_data["idx"], device_data["valid_ns_dev"],
             )
@@ -1161,13 +1213,14 @@ class Trainer:
                 valid_ns.append(valid_n)
                 if not eval_only:
                     loss_parts.append(loss)
-            # ONE batched host pull for the whole sweep: the old per-batch
-            # float(device_get(loss)) both paid a tunnel round trip per batch
-            # and hard-synced it, serializing the eval dispatches.
-            bsz = self.batch_size
-            preds_host = np.asarray(jax.device_get(_concat_rows(pred_parts)))
+            # ONE prefetched host pull for the whole sweep (device_get on a
+            # pytree issues copy_to_host_async for every leaf before
+            # blocking): the old per-batch float(device_get(loss)) paid a
+            # round trip per batch and hard-synced it, serializing the eval
+            # dispatches.
+            preds_list = jax.device_get(pred_parts)
             y_preds = np.concatenate(
-                [preds_host[i * bsz : i * bsz + n] for i, n in enumerate(valid_ns)]
+                [np.asarray(p)[:n] for p, n in zip(preds_list, valid_ns)]
             )
             y_truths = np.concatenate(y_truths)
             if eval_only:
@@ -1175,7 +1228,7 @@ class Trainer:
             else:
                 # (loss over valid rows, row count) — averaged row-weighted so
                 # a padded trailing batch cannot bias early stopping.
-                loss_host = jax.device_get(_stack_scalars(loss_parts))
+                loss_host = jax.device_get(loss_parts)
                 val_losses = [(float(l), n) for l, n in zip(loss_host, valid_ns)]
 
         metric_score = None

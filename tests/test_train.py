@@ -239,6 +239,22 @@ class TestResume:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class TestDeviceFeedNormalization:
+    def test_string_spellings(self):
+        from mmdti_tpu.train.trainer import _normalize_device_feed as norm
+
+        assert norm("auto") == "auto" and norm("AUTO") == "auto"
+        assert norm("true") is True and norm("on") is True and norm(1) is True
+        assert norm("false") is False and norm("off") is False
+        assert norm(False) is False and norm(None) is False
+
+    def test_unknown_value_raises(self):
+        from mmdti_tpu.train.trainer import _normalize_device_feed as norm
+
+        with pytest.raises(ValueError, match="device_feed"):
+            norm("maybe")
+
+
 class TestAsyncSaver:
     def test_error_propagates_on_wait(self):
         from mmdti_tpu.train.trainer import _AsyncSaver
