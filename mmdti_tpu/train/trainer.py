@@ -355,8 +355,14 @@ class Trainer:
         # device->host pull + serialize otherwise stalls the epoch loop)
         self.async_checkpoint = bool(params.get("async_checkpoint", True))
         self.resume = bool(params.get("resume", False))
-        # train steps fused per device dispatch (amortizes host/RPC latency)
-        self.steps_per_call = int(params.get("steps_per_call", 4) or 1)
+        # train steps fused per device dispatch (amortizes host/RPC latency).
+        # Explicitness matters: with the device feed the best K is the WHOLE
+        # epoch (scan compile cost is O(1) in trip count; only the [K,B]
+        # index block grows), so the feed path uses epoch-sized dispatches
+        # unless the user pinned a K themselves.
+        _spc = params.get("steps_per_call", None)
+        self.steps_per_call_explicit = _spc is not None
+        self.steps_per_call = int(_spc if _spc is not None else 4) or 1
         # device-resident input feed: collate the whole dataset once, keep the
         # arrays in HBM, and turn per-step batching into an on-device row
         # gather inside the jit'd scan.  Kills the steady-state host work
@@ -892,12 +898,20 @@ class Trainer:
 
             if feed_on:
                 # device-feed path: one [kk, B] int32 index block per
-                # dispatch is the ONLY per-step host work and transfer
+                # dispatch is the ONLY per-step host work and transfer.
+                # Default: the WHOLE epoch per dispatch — the scan body
+                # compiles once regardless of trip count, so epoch-sized
+                # dispatches cost nothing extra to build and remove every
+                # per-K host round trip.  An explicit steps_per_call pins K
+                # (useful for profiling granularity).
                 idx_mat, _ = train_loader.epoch_index_matrix()
                 nb = idx_mat.shape[0]
+                # profiling keeps K-sized dispatches: an epoch-sized trace
+                # window would be unreadable (and huge on disk)
+                K_feed = K if (self.steps_per_call_explicit or profiling) else nb
                 k0 = 0
                 while k0 < nb:
-                    kk = min(max(K, 1), nb - k0)
+                    kk = min(max(K_feed, 1), nb - k0)
                     blk = idx_mat[k0 : k0 + kk]
                     rngs_k = jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(
                         jnp.arange(global_step, global_step + kk)
