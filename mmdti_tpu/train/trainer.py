@@ -417,6 +417,31 @@ class Trainer:
             return jax.device_put(tree, param_sharding(self.mesh, tree))
         return replicate(self.mesh, tree)
 
+    def _commit_aux_state(self, tree):
+        """Commit every leaf of a train-state tree to this fit's mesh.
+
+        Leaves already carrying a NamedSharding on the mesh (Adam moments
+        inherited eagerly from the placed params, possibly TP-partitioned)
+        are kept; everything else (optax step counters born as uncommitted
+        scalars in tx.init, the loss-state placeholder, numpy leaves from a
+        resume restore) is replicated.  Without this the first train
+        dispatch sees uncommitted avals while its own outputs come back
+        mesh-committed, so dispatch #2 RETRACES and RECOMPILES the whole
+        step — measured ~38s of remote compile per fit on the tunneled
+        flagship (it surfaced as a one-off 37.8s "epoch 2" once the device
+        feed made each epoch a single dispatch)."""
+        from jax.sharding import NamedSharding
+
+        rep = replicated(self.mesh)
+
+        def place(x):
+            sh = getattr(x, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == self.mesh:
+                return x
+            return jax.device_put(x, rep)
+
+        return jax.tree.map(place, tree)
+
     # ------------------------------------------------------------------
     def _split_batch(self, batch: Dict[str, np.ndarray]):
         feats = {k: batch[k] for k in _FEATURE_KEYS if k in batch}
@@ -740,7 +765,7 @@ class Trainer:
         if self.accumulate_steps > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_steps)
         params = self._place_params(params)
-        opt_state = tx.init(params)
+        opt_state = self._commit_aux_state(tx.init(params))
         if fds_state is not None:
             fds_state = replicate(self.mesh, fds_state)
 
@@ -750,6 +775,7 @@ class Trainer:
         )
         if loss_state is None:
             loss_state = jnp.zeros((0,), jnp.float32)  # placeholder pytree leaf
+        loss_state = self._commit_aux_state(loss_state)
         eval_step = self.build_eval_step(model, loss_fn, activation_fn)
 
         # ---- device-resident input feed (device_feed) --------------------
@@ -781,6 +807,7 @@ class Trainer:
             p_h, opt_state, fds_h, last_epoch, global_step, resume_extra = load_train_state(
                 dump_dir, fold, opt_state
             )
+            opt_state = self._commit_aux_state(opt_state)
             params = self._place_params(p_h)
             if fds_h is not None:
                 fds_state = replicate(self.mesh, fds_h)
@@ -788,9 +815,11 @@ class Trainer:
                 # restore the stateful-loss carry (GHM EMA bins) with this
                 # run's treedef — a fresh run would otherwise restart the
                 # gradient-density weighting from zeroed bins
-                loss_state = jax.tree_util.tree_unflatten(
-                    jax.tree_util.tree_structure(loss_state),
-                    [jnp.asarray(x) for x in resume_extra["loss_state_leaves"]],
+                loss_state = self._commit_aux_state(
+                    jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(loss_state),
+                        [jnp.asarray(x) for x in resume_extra["loss_state_leaves"]],
+                    )
                 )
             start_epoch = last_epoch + 1
             logger.info("Resumed train state from epoch %d", last_epoch)
