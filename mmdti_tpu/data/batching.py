@@ -199,6 +199,18 @@ class MolDataLoader:
         self._epoch += 1
         return idx
 
+    def advance_epochs(self, n: int) -> None:
+        """Discard n epochs' shuffle draws (resume alignment).
+
+        A resumed fit constructs a fresh loader whose RNG would otherwise
+        replay epoch 0's permutation at the resumed epoch — the continued
+        run would see a different data order than the uninterrupted one.
+        Drawing and discarding the already-trained epochs keeps the
+        trajectory identical (the dropout PRNG is global_step-keyed and
+        already continuous)."""
+        for _ in range(max(int(n), 0)):
+            self._epoch_order()
+
     def __iter__(self):
         idx = self._epoch_order()
         nb = len(self)

@@ -355,6 +355,14 @@ class Trainer:
         # device->host pull + serialize otherwise stalls the epoch loop)
         self.async_checkpoint = bool(params.get("async_checkpoint", True))
         self.resume = bool(params.get("resume", False))
+        # budgeted sessions: complete at most this absolute (1-based) epoch
+        # this invocation, persist the full train state, and return.  The LR
+        # schedule horizon stays `epochs`, the shuffle stream is realigned on
+        # resume, and the dropout PRNG is global_step-keyed — so a later
+        # resume=True run continues the IDENTICAL trajectory the
+        # uninterrupted run would have produced (tests/test_train.py::
+        # TestResumeE2E::test_interrupted_run_matches_uninterrupted).
+        self.stop_after_epoch = int(params.get("stop_after_epoch", 0) or 0)
         # train steps fused per device dispatch (amortizes host/RPC latency).
         # Explicitness matters: with the device feed the best K is the WHOLE
         # epoch (scan compile cost is O(1) in trip count; only the [K,B]
@@ -822,6 +830,9 @@ class Trainer:
                     )
                 )
             start_epoch = last_epoch + 1
+            # align the shuffle stream with the uninterrupted run: the fresh
+            # loader's RNG must skip the permutations already consumed
+            train_loader.advance_epochs(start_epoch)
             logger.info("Resumed train state from epoch %d", last_epoch)
 
         base_rng = jax.random.PRNGKey(self.seed)
@@ -1113,13 +1124,24 @@ class Trainer:
                 best_fds = _copy_tree(fds_state) if fds_state is not None else None
             else:
                 wait += 1
-            if self.checkpoint_interval and (epoch + 1) % self.checkpoint_interval == 0:
+            stopping_early = bool(
+                self.stop_after_epoch
+                and (epoch + 1) >= self.stop_after_epoch
+                and (epoch + 1) < self.max_epochs
+            )
+            interval_hit = bool(
+                self.checkpoint_interval
+                and (epoch + 1) % self.checkpoint_interval == 0
+            )
+            # a stop_after_epoch exit must leave a resumable state even when
+            # the periodic interval didn't align with the stop epoch
+            if interval_hit or stopping_early:
                 early_stop = {
                     "min_val_loss": min_val_loss,
                     "wait": wait,
                     "best_score": float("nan") if best_score is None else best_score,
                 }
-                if self.async_checkpoint:
+                if self.async_checkpoint and not stopping_early:
                     # device-side snapshot (ms), then pull+write off-thread.
                     # Copies are required regardless: the live params/opt
                     # buffers are donated into the next dispatch while the
@@ -1147,11 +1169,28 @@ class Trainer:
                         )
                         ckpt_saver.submit(save_fn)
                 else:
+                    # drain any in-flight async save first: it writes the
+                    # same artifact (reachable when stop_after_epoch lands
+                    # between async interval saves; a no-op otherwise)
+                    try:
+                        ckpt_saver.wait()
+                    except Exception:
+                        logger.exception(
+                            "previous periodic train-state save failed; "
+                            "training continues"
+                        )
                     save_train_state(
                         dump_dir, fold, params, opt_state, fds_state, epoch,
                         global_step, best_params=best_params,
                         early_stop=early_stop, loss_state=loss_state,
                     )
+            if stopping_early:
+                logger.info(
+                    "Stopping after epoch %d (stop_after_epoch=%d of %d); "
+                    "train state saved — continue with resume=True",
+                    epoch + 1, self.stop_after_epoch, self.max_epochs,
+                )
+                break
             if wait >= self.patience:
                 logger.warning("Early stopping at epoch: %d", epoch + 1)
                 break

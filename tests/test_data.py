@@ -242,6 +242,23 @@ class TestCollation:
             assert idx_mat.shape == (3, 2) and valid_ns == [2, 2, 2]
             assert [ds.labels[row, 0].tolist() for row in idx_mat] == iter_labels
 
+    def test_advance_epochs_aligns_resumed_stream(self):
+        """advance_epochs(n) must put a fresh loader exactly where an
+        uninterrupted loader would be after n epochs (resume alignment)."""
+        feats = self._features(7)
+        coll = BatchCollator(SmilesTokenizer(), pad_idx=1, pad_mode="dataset",
+                             atom_pad=16, smiles_pad=24)
+        ds = MolDataset(feats, np.arange(7).reshape(-1, 1))
+        full = MolDataLoader(ds, 2, coll, shuffle=True, drop_last=True, seed=9)
+        for _ in range(2):
+            list(full)
+        expected, _ = full.epoch_index_matrix()
+        resumed = MolDataLoader(ds, 2, coll, shuffle=True, drop_last=True, seed=9)
+        resumed.advance_epochs(2)
+        got, _ = resumed.epoch_index_matrix()
+        assert got.tolist() == expected.tolist()
+        assert MolDataLoader(ds, 2, coll, shuffle=True, seed=9).epoch_index_matrix()[0].tolist() != expected.tolist()
+
     def test_epoch_index_matrix_pads_partial_tail(self):
         """Without drop_last the tail batch repeats its last index — the
         index-level twin of Trainer._pad_to_batch."""

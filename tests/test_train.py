@@ -319,6 +319,55 @@ class TestResumeE2E:
         assert [r["epoch"] for r in hist] == [1, 2, 3, 4]
         assert all(np.isfinite(r["val_loss"]) for r in hist)
 
+    def test_interrupted_run_matches_uninterrupted(self, tmp_path):
+        """stop_after_epoch=2 + resume must reproduce the uninterrupted
+        4-epoch trajectory EXACTLY: the train state carries params/opt/
+        early-stop, the dropout PRNG is global_step-keyed, and the resumed
+        loader realigns its shuffle stream (advance_epochs) — so every
+        post-resume history row is bit-identical."""
+        import json
+        import os
+
+        import pandas as pd
+
+        from mmdti_tpu import MolTrain
+        from tests.conftest import SMALL_ARCH, SMILES_20
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({
+            "smiles": SMILES_20, "y": rng.randn(len(SMILES_20)).astype(float),
+        })
+        train_csv = str(tmp_path / "train.csv")
+        val_csv = str(tmp_path / "val.csv")
+        df.iloc[:16].to_csv(train_csv, index=False)
+        df.iloc[16:].to_csv(val_csv, index=False)
+        common = dict(
+            task="regression", batch_size=8, metrics="mse", smiles_col="smiles",
+            target_cols=["y"], seed=0, compute_dtype="float32",
+            use_pallas=False, early_stopping=10, epochs=4, **SMALL_ARCH,
+        )
+        scalar_keys = ("train_loss", "m_loss", "infonce_loss", "ct_loss",
+                       "val_loss", "val_mse")
+
+        def rows(exp):
+            with open(os.path.join(exp, "history_0.json")) as f:
+                return json.load(f)
+
+        exp_a = str(tmp_path / "uninterrupted")
+        MolTrain(save_path=exp_a, **common).fit(train_csv, val_csv)
+        exp_b = str(tmp_path / "interrupted")
+        MolTrain(save_path=exp_b, stop_after_epoch=2, **common).fit(
+            train_csv, val_csv
+        )
+        assert [r["epoch"] for r in rows(exp_b)] == [1, 2]
+        MolTrain(save_path=exp_b, resume=True, **common).fit(train_csv, val_csv)
+
+        hist_a, hist_b = rows(exp_a), rows(exp_b)
+        assert [r["epoch"] for r in hist_b] == [1, 2, 3, 4]
+        for ra, rb in zip(hist_a, hist_b):
+            for k in scalar_keys:
+                assert ra[k] == rb[k], (ra["epoch"], k, ra[k], rb[k])
+
 
 class TestLossStateResume:
     def test_loss_state_roundtrips_through_train_state(self, tmp_path):
