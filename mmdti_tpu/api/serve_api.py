@@ -233,6 +233,11 @@ class MolServe:
         self._feat_cache_byte_cap = int(feature_cache_bytes)
         self._feat_cache_bytes = 0
         self.cache_hits = 0
+        # rolling request-latency window (seconds) for /health percentiles;
+        # deque bound keeps the stats O(1) memory under sustained load
+        from collections import deque
+
+        self._latencies: "deque[float]" = deque(maxlen=1024)
         logger.info(
             "MolServe ready: task=%s output_dim=%d pallas=%s backend=%s",
             self.task, self.output_dim, use_pallas, jax.default_backend(),
@@ -328,9 +333,11 @@ class MolServe:
         smi_list = [smiles] if one else list(smiles)
         if not smi_list:
             raise ValueError("empty SMILES request")
+        t0 = time.perf_counter()
         with self._lock:
             feats = self._featurize(smi_list)
             raw = self._run_batched(feats, self._forward)
+        self._latencies.append(time.perf_counter() - t0)
         out = postprocess_predictions(
             self.task, raw, self.scaler, self.threshold,
             self.config.get("multiclass_cnt"),
@@ -408,6 +415,17 @@ class MolServe:
     def compiled_shapes(self) -> int:
         return len(self._shapes_seen)
 
+    def latency_stats(self) -> Dict[str, Any]:
+        """Rolling p50/p95 over the last 1024 predict() calls (ms)."""
+        lats = list(self._latencies)
+        if not lats:
+            return {"count": 0, "p50_ms": None, "p95_ms": None}
+        return {
+            "count": len(lats),
+            "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2),
+            "p95_ms": round(float(np.percentile(lats, 95)) * 1e3, 2),
+        }
+
     # ------------------------------------------------------------------
     def make_server(
         self, host: str = "127.0.0.1", port: int = 8000,
@@ -447,13 +465,23 @@ class MolServe:
                         "target_cols": serve.target_cols,
                         "compiled_shapes": serve.compiled_shapes,
                         "feature_cache_hits": serve.cache_hits,
+                        "latency": serve.latency_stats(),
                     })
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
 
+            MAX_BODY = 32 << 20  # a 32MB JSON body is ~100k+ SMILES — reject
+            # larger ones instead of buffering unbounded client input
+
             def do_POST(self):
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > self.MAX_BODY:
+                        self._reply(413, {
+                            "error": f"request body {length} bytes exceeds "
+                            f"the {self.MAX_BODY} byte limit",
+                        })
+                        return
                     req = json.loads(self.rfile.read(length) or b"{}")
                     smiles = req.get("smiles")
                     if not smiles or not isinstance(smiles, list):

@@ -360,6 +360,32 @@ class TestHTTPFront:
         code, _ = self._post(http_server + "/elsewhere", {"smiles": ["C"]})
         assert code == 404
 
+    def test_oversized_body_rejected(self, http_server):
+        """A Content-Length beyond the cap must 413 without being buffered."""
+        req = urllib.request.Request(
+            http_server + "/predict", data=b"{}",
+            headers={"Content-Type": "application/json",
+                     "Content-Length": str(64 << 20)}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        except urllib.error.URLError:
+            # some stacks abort the send once the server replies early —
+            # either way the request must not succeed
+            code = 413
+        assert code == 413
+
+    def test_health_latency_stats(self, http_server, server):
+        server.predict(["CCO"])  # ensure at least one sample in the window
+        with urllib.request.urlopen(http_server + "/health", timeout=30) as r:
+            body = json.loads(r.read())
+        lat = body["latency"]
+        assert lat["count"] >= 1
+        assert lat["p50_ms"] > 0 and lat["p95_ms"] >= lat["p50_ms"]
+
 
 class TestDynamicBatching:
     def test_concurrent_requests_coalesce(self, server):
