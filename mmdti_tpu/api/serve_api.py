@@ -206,6 +206,15 @@ class MolServe:
             if cfg.get("crossmodal_overrides")
             else None,
         )
+        if int(cfg.get("model_folds", 1) or 1) > 1:
+            # CV experiment dirs hold K fold checkpoints; serving keeps the
+            # single-model latency contract and uses fold 0 (MolPredict is
+            # the fold-averaging batch path)
+            logger.info(
+                "experiment dir has %s fold checkpoints; serving fold 0 "
+                "(use MolPredict for the fold-averaged ensemble)",
+                cfg.get("model_folds"),
+            )
         ckpt = load_checkpoint(load_model, 0)
         self.params = jax.device_put(ckpt["params"])
 

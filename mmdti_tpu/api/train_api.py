@@ -67,6 +67,9 @@ class MolTrain:
         ct_lamda: float = 1.0,
         ct_w: float = 0.2,
         threshold_search: bool = False,
+        kfold: int = 5,
+        split: str = "random",
+        split_group_col: str = "scaffold",
         **params,
     ):
         config = default_config()
@@ -115,13 +118,44 @@ class MolTrain:
         config.ct_w = ct_w
         config.ct_lamda = ct_lamda
         config.threshold_search = threshold_search
+        # k-fold CV knobs (reference kwargs at /root/reference/train.py:88-90;
+        # there they are config-only — NNModel.run trains fold 0 regardless.
+        # Here they are LIVE when fit() is called without a validation set:
+        # fit(train) runs real kfold CV — see fit()).
+        config.kfold = int(kfold)
+        config.split = split
+        config.split_group_col = split_group_col
         config.update_from(params)
         self.save_path = save_path
         self.config = config
 
     # ------------------------------------------------------------------
-    def fit(self, data_train, data_val):
-        """Fit on a training CSV/dict/list with a held-out validation set."""
+    def fit(self, data_train, data_val=None):
+        """Fit on a training CSV/dict/list.
+
+        Two calling patterns:
+
+        * ``fit(train, val)`` — reference behavior (/root/reference/train.py:150):
+          one model (fold 0) trained against the explicit held-out set.  The
+          ``kfold`` kwarg is config-only here, exactly as in the reference
+          (its NNModel.run trains fold 0 regardless of kfold).
+        * ``fit(train)`` — k-fold cross-validation, a calling pattern the
+          reference cannot handle (its fit requires data_val positionally):
+          ``kfold`` models trained on Splitter-assigned folds
+          (``split``/``split_group_col`` select random/scaffold/group/
+          stratified assignment), each saved as ``model_{fold}.ckpt``;
+          ``cv_pred`` holds out-of-fold predictions in dataset order, and
+          MolPredict/NNModel.evaluate average all fold checkpoints.
+        """
+        kfold = int(self.config.get("kfold", 5) or 1)
+        if data_val is None:
+            if kfold <= 1:
+                raise ValueError(
+                    "fit(data_train) without a validation set requires "
+                    f"kfold > 1 for cross-validation (got kfold={kfold}); "
+                    "pass data_val for a single train/val run"
+                )
+            return self._fit_cv(data_train, kfold)
         self.datahub = DataHub(
             data=data_train, is_train=True, save_path=self.save_path, **self.config
         )
@@ -130,13 +164,56 @@ class MolTrain:
         )
         self.data_train = self.datahub.data
         self.data_test = self.datahub_1.data
-        self.update_and_save_config()
+        self.update_and_save_config(n_folds=1)
         self.trainer = Trainer(save_path=self.save_path, **self.config)
         self.model = NNModel(self.data_train, self.data_test, self.trainer, **self.config)
         self.model.run()
+        return self._finalize(val_true=np.asarray(self.data_test["target"], dtype=float))
 
+    def _fit_cv(self, data_train, kfold: int):
+        """K-fold cross-validation: one DataHub (featurize/scale once), one
+        NNModel (one model build + param init shared as the per-fold starting
+        point), Trainer.fit_predict per fold with the fold's slices."""
+        self.datahub = DataHub(
+            data=data_train, is_train=True, save_path=self.save_path, **self.config
+        )
+        self.data_train = self.datahub.data
+        self.data_test = self.data_train  # pad-length source; folds slice it
+        self.update_and_save_config(n_folds=kfold)
+        self.trainer = Trainer(save_path=self.save_path, **self.config)
+        self.model = NNModel(self.data_train, self.data_train, self.trainer, **self.config)
+        self.model.run_cv(self._cv_splits(kfold))
+        return self._finalize(val_true=np.asarray(self.data_train["target"], dtype=float))
+
+    def _cv_splits(self, kfold: int):
+        """Fold index pairs from the Splitter, honoring the reference's
+        split-method surface (random/scaffold/group/stratified,
+        /root/reference/train.py:88-90 + tasks/split.py)."""
+        from mmdti_tpu.splits import Splitter
+
+        method = str(self.config.get("split", "random"))
+        splitter = Splitter(f"{kfold}fold_{method}", seed=int(self.config.get("seed", 42)))
+        target = np.asarray(self.data_train["target"])
+        idx = np.arange(target.shape[0])
+        if method in ("scaffold", "group"):
+            group = self.data_train.get("group")
+            if group is None:
+                raise ValueError(
+                    f"split='{method}' needs group labels: provide the "
+                    f"'{self.config.get('split_group_col', 'scaffold')}' "
+                    "column or SMILES input (scaffolds are derived from it)"
+                )
+            return splitter.split(idx, group=np.asarray(group))
+        if method == "stratified":
+            return splitter.split(idx, target=target[:, 0].astype(int))
+        return splitter.split(idx)
+
+    def _finalize(self, val_true: np.ndarray):
+        """Shared fit tail: inverse-scale predictions, write threshold.dat,
+        expose cv_pred.  val_true: the labels cv['pred'] aligns to (the
+        explicit validation set, or the full train set for out-of-fold CV)."""
         scaler = self.data_train["target_scaler"]
-        y_pred = self.model.cv["pred"]  # validation-set predictions
+        y_pred = self.model.cv["pred"]
         if scaler is not None and scaler.scaler is not None:
             y_pred = scaler.inverse_transform(y_pred)
         if self.config["task"] in ["classification", "multilabel_classification"]:
@@ -145,7 +222,6 @@ class MolTrain:
             # per-column validation-set grid search as a strict superset.
             threshold = 0.5
             if self.config.get("threshold_search"):
-                val_true = np.asarray(self.data_test["target"], dtype=float)
                 val_pred = np.asarray(self.model.cv["pred"], dtype=float)
                 threshold = self.trainer.metrics.search_threshold(val_true, val_pred)
                 logger.info("Searched classification thresholds: %s", threshold)
@@ -153,12 +229,20 @@ class MolTrain:
         self.cv_pred = y_pred
         return self
 
-    def update_and_save_config(self):
+    def update_and_save_config(self, n_folds: int = 1):
         self.config["num_classes"] = self.data_train["num_classes"]
         self.config["target_cols"] = ",".join(self.data_train["target_cols"])
         if self.config["task"] == "multiclass":
             self.config["multiclass_cnt"] = self.data_train["multiclass_cnt"]
-        self.config["split_method"] = self.config.get("split_method", "5fold_random")
+        self.config["split_method"] = (
+            f"{self.config.get('kfold', 5)}fold_{self.config.get('split', 'random')}"
+        )
+        # how many model_{fold} checkpoints this experiment actually produces
+        # (the reference's kfold config never changes that — always 1); the
+        # predict/serve side reads this instead of trusting kfold, so a stale
+        # model_1.ckpt from an earlier CV run in a reused dir is never
+        # silently ensembled into a later single-fold experiment
+        self.config["model_folds"] = int(n_folds)
         if self.save_path is not None:
             if not os.path.exists(self.save_path):
                 logger.info("Create output directory: %s", self.save_path)

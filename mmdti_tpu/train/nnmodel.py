@@ -82,6 +82,10 @@ class NNModel:
         self.use_fds = params.get("fds", False)
         self.fds_num = params.get("fds_num", 30)
         self.save_path = trainer.save_path
+        # checkpoints the experiment dir holds: 1 (reference behavior) or the
+        # CV fold count — written by MolTrain.update_and_save_config, read by
+        # evaluate() for fold ensembling (missing in pre-CV config.yaml = 1)
+        self.model_folds = int(params.get("model_folds", 1) or 1)
         self.cv: Dict[str, Any] = {}
 
         # dictionaries / tokenizer ------------------------------------------------
@@ -370,41 +374,109 @@ class NNModel:
             loss_state=self.loss_state,
         )
 
+        self._log_fold_metric(0, y_valid, y_pred)
+        self.cv["pred"] = y_pred
+        return y_pred
+
+    def run_cv(self, splits):
+        """K-fold cross-validation over the training data.
+
+        splits: list of (train_idx, val_idx) pairs (MolTrain._cv_splits).
+        Every fold starts from the SAME initial parameters (self.params — the
+        host tree is never mutated; fit_predict places a device copy) and
+        fresh FDS/loss state, trains against its held-out slice, and saves
+        model_{fold}.ckpt.  Returns out-of-fold predictions in dataset order
+        (every row predicted exactly once, by the model that never saw it).
+
+        The reference cannot do this: its NNModel.run hardcodes fold 0
+        (/root/reference/models/nnmodel.py:156-199) even though MolTrain
+        exposes a kfold kwarg (/root/reference/train.py:90).
+        """
+        y_all = np.asarray(self.data_train["target"])
+        feats = self.features_train
+        oof = None
+        for fold, (tr_idx, va_idx) in enumerate(splits):
+            traindataset = MolDataset([feats[i] for i in tr_idx], y_all[tr_idx])
+            validdataset = MolDataset([feats[i] for i in va_idx], y_all[va_idx])
+            y_pred = self.trainer.fit_predict(
+                self.model, self.params, traindataset, validdataset,
+                self.loss_func, self.activation_fn, self.save_path, fold,
+                self.target_scaler, self.collator,
+                use_infonce=self.using_infonce,
+                use_ct=self.using_ct,
+                use_weight=self.use_weight,
+                fds_state=self.fds_state,
+                fds_bucket=self.fds_bucket,
+                fds_kernel=self.fds_kernel,
+                fds_start_update=self.model.fds_cfg.start_update
+                if self.fds_state is not None else 0,
+                frozen_mask=self.frozen_mask,
+                stateful_loss=self.stateful_loss,
+                loss_state=self.loss_state,
+            )
+            if oof is None:
+                oof = np.zeros((len(y_all),) + y_pred.shape[1:], dtype=y_pred.dtype)
+            oof[np.asarray(va_idx)] = y_pred
+            self._log_fold_metric(fold, y_all[va_idx], y_pred)
+        self._log_fold_metric("cv (out-of-fold)", y_all, oof)
+        self.cv["pred"] = oof
+        return oof
+
+    def _log_fold_metric(self, fold, y_true, y_pred) -> None:
         label_cnt = self.data_train.get("multiclass_cnt")
         scaler = self.target_scaler
         if scaler is not None and scaler.scaler is not None:
             score = self.trainer.metrics.cal_metric(
-                scaler.inverse_transform(y_valid), scaler.inverse_transform(y_pred),
+                scaler.inverse_transform(y_true), scaler.inverse_transform(y_pred),
                 label_cnt=label_cnt,
             )
         else:
-            score = self.trainer.metrics.cal_metric(y_valid, y_pred, label_cnt=label_cnt)
-        logger.info("fold 0, result %s", score)
-        self.cv["pred"] = y_pred
-        return y_pred
+            score = self.trainer.metrics.cal_metric(y_true, y_pred, label_cnt=label_cnt)
+        logger.info("fold %s, result %s", fold, score)
 
     def evaluate(self, trainer: Optional[Trainer] = None, checkpoints_path: Optional[str] = None):
+        """Best-checkpoint inference on the test features.
+
+        A CV experiment (config model_folds > 1) is an ensemble: every
+        model_{fold}.ckpt predicts and the activation outputs are averaged
+        (probability space for classification; scaled-label space for
+        regression — the inverse transform happens once, in MolPredict).
+        The fold count comes from the saved config, never from globbing, so
+        stale checkpoints in a reused experiment dir are ignored.
+        """
         logger.info("start predict MM-DTI TPU model")
         trainer = trainer or self.trainer
         testdataset = MolDataset(self.features_test, np.asarray(self.data_test["target"]))
-        # Load the best checkpoint exactly once and hand the placed params to
-        # predict (load_model=True would restore the same file a second time).
-        ckpt = load_checkpoint(checkpoints_path, 0)
-        self.params = trainer._place_params(ckpt["params"])
-        logger.info("load model success!")
         # bulk inference uses the device-resident sweep when it fits: ONE
-        # scan dispatch + one batched pull instead of per-batch collation,
-        # transfer, and dispatch (same gate as the fit loop's device_feed)
+        # scan dispatch per fold + one batched pull instead of per-batch
+        # collation, transfer, and dispatch (same gate as the fit loop's
+        # device_feed); the resident arrays + compiled sweep are shared
+        # across folds — only the params change
         device_data = None
         if trainer._feed_engaged(self.collator, testdataset):
             device_data = trainer.build_eval_device_data(
                 self.model_infer, testdataset, self.collator,
                 self.loss_func, self.activation_fn,
             )
-        y_pred, _, _ = trainer.predict(
-            self.model_infer, self.params, testdataset, self.loss_func, self.activation_fn,
-            checkpoints_path, 0, self.target_scaler, self.collator,
-            load_model=False, skip_metrics=True, device_data=device_data,
+        if self.model_folds > 1:
+            logger.info("ensembling %d fold checkpoints", self.model_folds)
+        fold_preds = []
+        for fold in range(max(1, self.model_folds)):
+            # load each checkpoint exactly once and hand the placed params to
+            # predict (load_model=True would restore the same file again)
+            ckpt = load_checkpoint(checkpoints_path, fold)
+            self.params = trainer._place_params(ckpt["params"])
+            logger.info("load model success!")
+            y_pred, _, _ = trainer.predict(
+                self.model_infer, self.params, testdataset, self.loss_func,
+                self.activation_fn, checkpoints_path, fold, self.target_scaler,
+                self.collator, load_model=False, skip_metrics=True,
+                device_data=device_data,
+            )
+            fold_preds.append(y_pred)
+        y_pred = (
+            np.mean(np.stack(fold_preds), axis=0)
+            if len(fold_preds) > 1 else fold_preds[0]
         )
         self.cv["test_pred"] = y_pred
         return y_pred
