@@ -23,6 +23,17 @@ static void refine_inner(int n, float* coords,
 
 extern "C" {
 
+// Pair-index arrays come across a ctypes boundary: an out-of-range atom
+// index would be an out-of-bounds WRITE in refine_inner (it scatters into
+// grad[3*i]) and take the whole Python process down — validate at the ABI
+// edge and fail soft instead (the binding falls back to the numpy path).
+static bool pairs_in_range(int n, int count, const int* idx) {
+  if (count > 0 && !idx) return false;
+  for (int p = 0; p < 2 * count; ++p)
+    if (idx[p] < 0 || idx[p] >= n) return false;
+  return true;
+}
+
 // coords: [n,3] float32, updated in place. Returns 0 on success.
 int mmchem_refine(int n, float* coords,
                   int nb, const int* bond_idx, const float* bond_len,
@@ -30,6 +41,9 @@ int mmchem_refine(int n, float* coords,
                   int nn, const int* nb_idx,
                   int iters) {
   if (n <= 0 || !coords) return 1;
+  if (!pairs_in_range(n, nb, bond_idx) || !pairs_in_range(n, na, ang_idx) ||
+      !pairs_in_range(n, nn, nb_idx))
+    return 1;
   refine_inner(n, coords, nb, bond_idx, bond_len, na, ang_idx, ang_len,
                nn, nb_idx, iters);
   return 0;
@@ -60,6 +74,7 @@ int mmchem_embed(int n, float* coords,
                  int iters) {
   if (n <= 0 || !coords || !flags) return 1;
   if (nb > 0 && (!bonds || !orders || !bond_lens)) return 1;
+  if (!pairs_in_range(n, nb, bonds)) return 1;  // adj/mask writes index by these
 
   // Bond targets: double math in the 1-3 law, float32 spring targets
   // (matches the numpy path, which computes targets in double and casts the

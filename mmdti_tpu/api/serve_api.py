@@ -247,6 +247,7 @@ class MolServe:
         from collections import deque
 
         self._latencies: "deque[float]" = deque(maxlen=1024)
+        self._lat_lock = threading.Lock()
         logger.info(
             "MolServe ready: task=%s output_dim=%d pallas=%s backend=%s",
             self.task, self.output_dim, use_pallas, jax.default_backend(),
@@ -346,7 +347,12 @@ class MolServe:
         with self._lock:
             feats = self._featurize(smi_list)
             raw = self._run_batched(feats, self._forward)
-        self._latencies.append(time.perf_counter() - t0)
+        # append/snapshot share a dedicated lock: latency_stats() iterates
+        # the deque from other server threads, and CPython raises "deque
+        # mutated during iteration" on a concurrent append.  (Not self._lock:
+        # /health must not block behind an in-flight predict.)
+        with self._lat_lock:
+            self._latencies.append(time.perf_counter() - t0)
         out = postprocess_predictions(
             self.task, raw, self.scaler, self.threshold,
             self.config.get("multiclass_cnt"),
@@ -426,7 +432,8 @@ class MolServe:
 
     def latency_stats(self) -> Dict[str, Any]:
         """Rolling p50/p95 over the last 1024 predict() calls (ms)."""
-        lats = list(self._latencies)
+        with self._lat_lock:  # snapshot vs concurrent predict() appends
+            lats = list(self._latencies)
         if not lats:
             return {"count": 0, "p50_ms": None, "p95_ms": None}
         return {
@@ -467,17 +474,21 @@ class MolServe:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path.rstrip("/") in ("", "/health"):
-                    self._reply(200, {
-                        "status": "ok",
-                        "task": serve.task,
-                        "target_cols": serve.target_cols,
-                        "compiled_shapes": serve.compiled_shapes,
-                        "feature_cache_hits": serve.cache_hits,
-                        "latency": serve.latency_stats(),
-                    })
-                else:
-                    self._reply(404, {"error": f"unknown path {self.path}"})
+                try:
+                    if self.path.rstrip("/") in ("", "/health"):
+                        self._reply(200, {
+                            "status": "ok",
+                            "task": serve.task,
+                            "target_cols": serve.target_cols,
+                            "compiled_shapes": serve.compiled_shapes,
+                            "feature_cache_hits": serve.cache_hits,
+                            "latency": serve.latency_stats(),
+                        })
+                    else:
+                        self._reply(404, {"error": f"unknown path {self.path}"})
+                except Exception as e:  # the liveness probe must never 500-crash
+                    logger.exception("health request failed")
+                    self._reply(500, {"error": str(e)})
 
             MAX_BODY = 32 << 20  # a 32MB JSON body is ~100k+ SMILES — reject
             # larger ones instead of buffering unbounded client input

@@ -33,7 +33,23 @@ def resolve_pair_feats_mode(value) -> str:
         import jax
 
         return "device" if jax.default_backend() == "tpu" else "host"
-    return "device" if value in (True, "device") else "host"
+    if isinstance(value, str):
+        # strict on spellings for the same reason as trainer.py's
+        # _normalize_device_feed: a YAML/CLI round-tripped 'true'/'on' (or a
+        # typo) silently resolving to 'host' re-ships the dense [B,N,N]
+        # arrays per batch — input-bound training with no error anywhere
+        v = value.strip().lower()
+        if v in ("device", "true", "on", "1", "yes"):
+            return "device"
+        if v in ("host", "false", "off", "0", "no"):
+            return "host"
+        raise ValueError(
+            f"device_pair_feats={value!r} not understood: expected 'auto', "
+            "'device'/True, or 'host'/False"
+        )
+    if isinstance(value, (bool, int)):
+        return "device" if value else "host"
+    raise ValueError(f"device_pair_feats={value!r} not understood")
 
 
 def pair_feats_from_coords(

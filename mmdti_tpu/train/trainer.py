@@ -949,6 +949,24 @@ class Trainer:
                 # profiling keeps K-sized dispatches: an epoch-sized trace
                 # window would be unreadable (and huge on disk)
                 K_feed = K if (self.steps_per_call_explicit or profiling) else nb
+                K_feed = max(1, min(K_feed, nb))
+                if nb % K_feed:
+                    # a trailing partial [kk,B] index block is a different
+                    # scan shape: it would RETRACE and RECOMPILE the whole
+                    # train program (minutes of remote compile on the
+                    # tunneled flagship).  Snap K down to the largest
+                    # divisor of nb so every dispatch shares one shape —
+                    # dispatch grouping never changes the math (same
+                    # batches, same global-step-keyed rngs).
+                    k_div = next(d for d in range(K_feed, 0, -1) if nb % d == 0)
+                    if epoch == start_epoch:
+                        logger.info(
+                            "steps_per_call %d does not divide the %d-batch "
+                            "epoch; using %d per dispatch (avoids a second "
+                            "compile for the trailing block)",
+                            K_feed, nb, k_div,
+                        )
+                    K_feed = k_div
                 k0 = 0
                 while k0 < nb:
                     kk = min(max(K_feed, 1), nb - k0)

@@ -155,6 +155,31 @@ class TestNativeParity:
         theirs = native.refine_coords(mol, c0.copy())
         np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
+    def test_out_of_range_indices_rejected_not_crash(self):
+        """The ABI boundary validates pair indices: a caller bug that ships
+        an out-of-range atom index must come back as a nonzero rc (the
+        binding degrades to numpy), never an out-of-bounds write."""
+        import ctypes
+
+        from mmdti_tpu.chem import native
+
+        lib = native._lib()
+        if lib is None:
+            pytest.skip("libmmchem.so not built")
+        n = 4
+        x = np.zeros((n, 3), np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int)
+        for bad in (np.array([[0, n]], np.int32), np.array([[-1, 1]], np.int32)):
+            bidx = np.ascontiguousarray(bad)
+            blen = np.ones((1,), np.float32)
+            rc = lib.mmchem_refine(
+                n, x.ctypes.data_as(fp),
+                1, bidx.ctypes.data_as(ip), blen.ctypes.data_as(fp),
+                0, None, None, 0, None, 10,
+            )
+            assert rc != 0
+
     def test_cpp_embed_matches_numpy(self):
         """The combined graph->terms->refine entry (mmchem_embed) must
         reproduce the Python term builder exactly: theta rules (sp linear,

@@ -284,6 +284,34 @@ class TestDeviceFeedEquivalence:
             for k in ("train_loss", "m_loss", "val_loss", "val_mse"):
                 assert abs(row_a[k] - row_b[k]) < 1e-5, (k, row_a, row_b)
 
+    def test_explicit_steps_per_call_matches_default(self, tiny_csv_module, tmp_path):
+        """An explicit steps_per_call that does not divide the epoch's batch
+        count is snapped to a divisor (one compiled scan shape — a trailing
+        partial block would retrace the whole train program); the grouping
+        must not change the math."""
+        import json
+
+        from mmdti_tpu import MolTrain
+
+        train_p, val_p, _ = tiny_csv_module
+        hist = {}
+        for spc in (None, 3):  # 16 rows / batch 4 -> nb=4; 4 % 3 != 0
+            exp = str(tmp_path / f"exp_spc{spc}")
+            kwargs = dict(
+                task="regression", epochs=2, batch_size=4, metrics="mse",
+                smiles_col="smiles", save_path=exp, target_cols=["measured"],
+                seed=0, compute_dtype="float32", use_pallas=False,
+                device_feed=True, **SMALL_ARCH,
+            )
+            if spc is not None:
+                kwargs["steps_per_call"] = spc
+            MolTrain(**kwargs).fit(train_p, val_p)
+            with open(os.path.join(exp, "history_0.json")) as f:
+                hist[spc] = json.load(f)
+        for row_a, row_b in zip(hist[None], hist[3]):
+            for k in ("train_loss", "m_loss", "val_loss", "val_mse"):
+                assert abs(row_a[k] - row_b[k]) < 1e-6, (k, row_a, row_b)
+
     def test_device_feed_true_requires_static_padding(self, tiny_csv_module, tmp_path):
         from mmdti_tpu import MolTrain
 

@@ -167,6 +167,19 @@ class TestModelEquivalence:
         with pytest.raises(ValueError, match="pair_feats"):
             BatchCollator(SmilesTokenizer(), pad_idx=1, pair_feats="gpu")
 
+    def test_resolve_mode_spellings(self):
+        """YAML/CLI round-tripped booleans and typos: bool-ish strings map to
+        their mode, anything unrecognized raises instead of silently falling
+        back to 'host' (which re-ships the dense [B,N,N] arrays per batch —
+        input-bound training with no error anywhere)."""
+        from mmdti_tpu.ops.pair_feats import resolve_pair_feats_mode as r
+
+        assert r(True) == r("true") == r("on") == r("device") == "device"
+        assert r(False) == r("off") == r("host") == r("false") == "host"
+        for bad in ("devcie", "yes please", 3.5):
+            with pytest.raises(ValueError, match="device_pair_feats"):
+                r(bad)
+
     def test_missing_smiles_inputs_raise_by_name(self, featurized):
         """input_ids/attention_mask became keyword-optional for signature
         reasons only — omitting them must fail with a named error, not

@@ -56,6 +56,42 @@ class TestMolServe:
         assert np.isfinite(out["predict"]).all()
         assert out["proba"] is None  # regression
 
+    def test_latency_stats_safe_under_concurrent_appends(self, server):
+        """/health reads the rolling latency window from its own server
+        thread while predict() appends; an unsynchronized snapshot raises
+        'deque mutated during iteration' under load."""
+        import threading
+
+        stop = threading.Event()
+        errors = []
+
+        def hammer():
+            i = 0
+            while not stop.is_set():
+                with server._lat_lock:
+                    server._latencies.append(i * 1e-4)
+                i += 1
+
+        def read():
+            try:
+                while not stop.is_set():
+                    s = server.latency_stats()
+                    assert s["count"] >= 0
+            except Exception as e:  # pragma: no cover - the failure under test
+                errors.append(e)
+
+        threads = [threading.Thread(target=hammer), threading.Thread(target=read)]
+        for t in threads:
+            t.start()
+        import time as _time
+
+        _time.sleep(0.3)
+        stop.set()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert server.latency_stats()["count"] > 0
+
     def test_single_smiles_accepted(self, server):
         out = server.predict("CCO")
         assert out["predict"].shape == (1, 1)
