@@ -416,6 +416,22 @@ class Trainer:
             self.batch_size = rounded
         self._compiled: Dict[str, Callable] = {}
 
+    def _memo(self, key, pins, builder):
+        """Per-Trainer cache of built (jit-wrapped) step functions.
+
+        Reusing the same function objects across fit_predict calls (CV folds,
+        the final best-weights predict) lets JAX's in-process executable
+        cache serve repeat compilations — the TPU backend pays a full remote
+        compile per NEW function object even for an identical program.
+        `pins` are the objects the key identifies by id(); storing them keeps
+        those ids alive so a collected object can never alias a stale entry.
+        """
+        hit = self._compiled.get(key)
+        if hit is None:
+            hit = (pins, builder())
+            self._compiled[key] = hit
+        return hit[1]
+
     def _place_params(self, tree):
         """Parameter placement for the mesh: TP_RULES partitioning over the
         'model' axis when it is >1 (DPxTP), full replication otherwise."""
@@ -535,7 +551,11 @@ class Trainer:
             "idx": idx_d, "valid_ns_dev": ns_d, "valid_ns": valid_ns,
             "labels_host": labels_host,
             "eval_sweep": eval_sweep
-            or self.build_eval_sweep(model, loss_fn, activation_fn),
+            or self._memo(
+                ("sweep", id(model), id(loss_fn), id(activation_fn), False),
+                (model, loss_fn, activation_fn),
+                lambda: self.build_eval_sweep(model, loss_fn, activation_fn),
+            ),
         }
 
     def _pad_to_batch(self, batch, labels):
@@ -766,25 +786,48 @@ class Trainer:
         # accumulation, MultiSteps only advances the inner (clip+adam) state
         # every K micro-steps, so the schedule horizon is micro_steps // K
         num_updates = max(1, steps_per_epoch * self.max_epochs // self.accumulate_steps)
-        tx, _ = make_optimizer(
-            self.learning_rate, num_updates, self.warmup_ratio, self.max_norm,
-            frozen_mask=frozen_mask, mu_dtype=self.mu_dtype,
+
+        # Memoized per (model, losses, flags, schedule horizon): a CV run
+        # calls fit_predict once per fold, and rebuilding the jit'd step
+        # closures would RETRACE AND RECOMPILE the identical program each
+        # fold — the axon TPU backend cannot serialize its big executables
+        # (CLAUDE.md), so that is minutes of remote compile per fold.  Reusing
+        # the same function objects makes fold 2+ hit JAX's in-process
+        # executable cache.  The key carries ids; the value pins the keyed
+        # objects so a GC'd model can never alias a stale entry.
+        def _build_train():
+            tx_, _ = make_optimizer(
+                self.learning_rate, num_updates, self.warmup_ratio, self.max_norm,
+                frozen_mask=frozen_mask, mu_dtype=self.mu_dtype,
+            )
+            if self.accumulate_steps > 1:
+                tx_ = optax.MultiSteps(tx_, every_k_schedule=self.accumulate_steps)
+            steps = self.build_train_step(
+                model, tx_, loss_fn, use_infonce, use_ct, use_weight, fds_bucket,
+                stateful_loss=stateful_loss,
+            )
+            return (tx_, *steps)
+
+        train_key = (
+            "train", id(model), id(loss_fn), id(stateful_loss), id(frozen_mask),
+            use_infonce, use_ct, use_weight, tuple(fds_bucket), num_updates,
         )
-        if self.accumulate_steps > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_steps)
+        tx, train_step, train_steps, train_steps_feed = self._memo(
+            train_key, (model, loss_fn, stateful_loss, frozen_mask), _build_train
+        )
         params = self._place_params(params)
         opt_state = self._commit_aux_state(tx.init(params))
         if fds_state is not None:
             fds_state = replicate(self.mesh, fds_state)
 
-        train_step, train_steps, train_steps_feed = self.build_train_step(
-            model, tx, loss_fn, use_infonce, use_ct, use_weight, fds_bucket,
-            stateful_loss=stateful_loss,
-        )
         if loss_state is None:
             loss_state = jnp.zeros((0,), jnp.float32)  # placeholder pytree leaf
         loss_state = self._commit_aux_state(loss_state)
-        eval_step = self.build_eval_step(model, loss_fn, activation_fn)
+        eval_step = self._memo(
+            ("eval", id(model), id(loss_fn), id(activation_fn)),
+            (model, loss_fn, activation_fn),
+            lambda: self.build_eval_step(model, loss_fn, activation_fn),
+        )
 
         # ---- device-resident input feed (device_feed) --------------------
         # Collate train+val ONCE, keep the arrays in HBM, and run batching as
@@ -798,7 +841,11 @@ class Trainer:
             tr_feats, tr_labels, tr_weights, _ = self._dataset_to_device(
                 train_dataset, collate_fn
             )
-            eval_sweep = self.build_eval_sweep(model, loss_fn, activation_fn)
+            eval_sweep = self._memo(
+                ("sweep", id(model), id(loss_fn), id(activation_fn), False),
+                (model, loss_fn, activation_fn),
+                lambda: self.build_eval_sweep(model, loss_fn, activation_fn),
+            )
             val_device_data = self.build_eval_device_data(
                 model, valid_dataset, collate_fn, loss_fn, activation_fn,
                 eval_sweep=eval_sweep,
@@ -1051,8 +1098,12 @@ class Trainer:
                             (fi, np.full((fi.shape[0],), self.batch_size, np.int32)),
                             replicated(self.mesh),
                         )
-                        fds_sweep = self.build_eval_sweep(
-                            model, loss_fn, activation_fn, with_pooled=True
+                        fds_sweep = self._memo(
+                            ("sweep", id(model), id(loss_fn), id(activation_fn), True),
+                            (model, loss_fn, activation_fn),
+                            lambda: self.build_eval_sweep(
+                                model, loss_fn, activation_fn, with_pooled=True
+                            ),
                         )
                     _, _, all_feats, all_labels = fds_sweep(
                         params, tr_feats, tr_labels, fds_idx_dev, fds_ns_dev
@@ -1291,7 +1342,11 @@ class Trainer:
             y_truths = device_data["labels_host"]
         else:
             if eval_step is None:
-                eval_step = self.build_eval_step(model, loss_fn, activation_fn)
+                eval_step = self._memo(
+                    ("eval", id(model), id(loss_fn), id(activation_fn)),
+                    (model, loss_fn, activation_fn),
+                    lambda: self.build_eval_step(model, loss_fn, activation_fn),
+                )
             if loader is None:
                 loader = MolDataLoader(
                     dataset, self.batch_size, collate_fn, shuffle=False

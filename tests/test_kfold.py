@@ -103,6 +103,41 @@ class TestKFoldTrain:
         )
 
 
+class TestKFoldCompileReuse:
+    def test_second_fold_reuses_step_functions(self, tmp_path, monkeypatch):
+        """fit_predict memoizes its jit'd step builders on the Trainer: fold
+        2+ must reuse fold 1's function objects (same program -> JAX's
+        in-process executable cache) instead of paying another full remote
+        compile per fold on the TPU backend."""
+        from mmdti_tpu import MolTrain
+        from mmdti_tpu.train.trainer import Trainer
+
+        calls = {"train": 0, "sweep": 0}
+        orig_train, orig_sweep = Trainer.build_train_step, Trainer.build_eval_sweep
+
+        def count_train(self, *a, **k):
+            calls["train"] += 1
+            return orig_train(self, *a, **k)
+
+        def count_sweep(self, *a, **k):
+            calls["sweep"] += 1
+            return orig_sweep(self, *a, **k)
+
+        monkeypatch.setattr(Trainer, "build_train_step", count_train)
+        monkeypatch.setattr(Trainer, "build_eval_sweep", count_sweep)
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame({"smiles": SMILES_20, "measured": rng.randn(len(SMILES_20))})
+        csv = str(tmp_path / "t.csv")
+        df.to_csv(csv, index=False)
+        MolTrain(kfold=2, save_path=str(tmp_path / "exp"), smiles_col="smiles",
+                 target_cols=["measured"], **FAST).fit(csv)
+        # equal 10-row folds -> identical schedule horizon -> one build each
+        assert calls["train"] == 1
+        # one plain validation sweep, shared by both folds (+1 if FDS were on)
+        assert calls["sweep"] == 1
+
+
 class TestKFoldSurface:
     def test_missing_val_requires_kfold(self, tmp_path):
         from mmdti_tpu import MolTrain
