@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mmdti_tpu.configs.architectures import ChemBertaConfig
-from mmdti_tpu.models.layers import bert_normal_init, get_activation_fn
+from mmdti_tpu.models.layers import FusedLN, bert_normal_init, get_activation_fn
 from mmdti_tpu.ops.attention import masked_attention
 
 
@@ -31,6 +31,7 @@ def roberta_position_ids(input_ids: jnp.ndarray, padding_idx: int) -> jnp.ndarra
 class RobertaEmbeddings(nn.Module):
     cfg: ChemBertaConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, input_ids, deterministic: bool = True):
@@ -45,9 +46,8 @@ class RobertaEmbeddings(nn.Module):
             jnp.zeros_like(input_ids)
         )
         x = word + pos + tt
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="LayerNorm")(
-            x.astype(jnp.float32)
-        ).astype(self.dtype)
+        x = FusedLN(epsilon=cfg.layer_norm_eps, use_pallas=self.use_pallas,
+                    name="LayerNorm")(x, out_dtype=self.dtype)
         return nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
 
 
@@ -79,18 +79,16 @@ class RobertaLayer(nn.Module):
         )
         ctx = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_output")(ctx)
         ctx = nn.Dropout(cfg.hidden_dropout_prob)(ctx, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_LayerNorm")(
-            (ctx + x).astype(jnp.float32)
-        ).astype(self.dtype)
+        x = FusedLN(epsilon=cfg.layer_norm_eps, use_pallas=self.use_pallas,
+                    name="attn_LayerNorm")(ctx + x, out_dtype=self.dtype)
 
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                          kernel_init=bert_normal_init(), name="intermediate")(x)
         inter = get_activation_fn(cfg.hidden_act)(inter)
         out = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="output")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="output_LayerNorm")(
-            (out + x).astype(jnp.float32)
-        ).astype(self.dtype)
+        x = FusedLN(epsilon=cfg.layer_norm_eps, use_pallas=self.use_pallas,
+                    name="output_LayerNorm")(out + x, out_dtype=self.dtype)
         return x
 
 
@@ -107,7 +105,8 @@ class ChemBerta(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.cfg
-        x = RobertaEmbeddings(cfg, dtype=self.dtype, name="embeddings")(
+        x = RobertaEmbeddings(cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                              name="embeddings")(
             input_ids, deterministic=deterministic
         )
         # HF extended mask: (1-mask) * large negative, broadcast over heads/queries

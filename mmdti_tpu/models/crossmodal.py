@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mmdti_tpu.configs.architectures import CrossModalConfig
-from mmdti_tpu.models.layers import bert_normal_init, get_activation_fn
+from mmdti_tpu.models.layers import FusedLN, bert_normal_init, get_activation_fn
 from mmdti_tpu.ops.attention import masked_attention
 
 _MASK_FILL = -10000.0
@@ -52,18 +52,16 @@ class BertCrossAttentionLayer(nn.Module):
         # self-output block: dense -> dropout -> LN(residual)
         ctx = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="attn_output")(ctx)
         ctx = nn.Dropout(cfg.hidden_dropout_prob)(ctx, deterministic=deterministic)
-        attn_out = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_LayerNorm"
-        )((ctx + s1).astype(jnp.float32)).astype(self.dtype)
+        attn_out = FusedLN(epsilon=cfg.layer_norm_eps, use_pallas=self.use_pallas,
+                           name="attn_LayerNorm")(ctx + s1, out_dtype=self.dtype)
 
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                          kernel_init=bert_normal_init(), name="intermediate")(attn_out)
         inter = get_activation_fn(cfg.hidden_act)(inter)
         out = nn.Dense(E, dtype=self.dtype, kernel_init=bert_normal_init(), name="output")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        return nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="output_LayerNorm"
-        )((out + attn_out).astype(jnp.float32)).astype(self.dtype)
+        return FusedLN(epsilon=cfg.layer_norm_eps, use_pallas=self.use_pallas,
+                       name="output_LayerNorm")(out + attn_out, out_dtype=self.dtype)
 
 
 class BertCrossEncoder(nn.Module):

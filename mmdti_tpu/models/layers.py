@@ -5,6 +5,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ACT2FN = {
@@ -72,15 +73,51 @@ class ClassificationHead(nn.Module):
         return x
 
 
+class FusedLN(nn.Module):
+    """LayerNorm with fp32 stats/affine and an optional fused Pallas path.
+
+    The param tree matches ``nn.LayerNorm`` (scale/bias at this module's
+    scope), so checkpoints and the HF/unicore converters are unaffected.
+    The XLA path reproduces ``flax.linen.LayerNorm(dtype=float32)`` math
+    exactly (fast variance with the negative-roundoff clamp, epsilon inside
+    the rsqrt); the Pallas path additionally recomputes the per-token stats
+    in the backward so the [T] mean/rstd tensors are never saved to HBM.
+    Chip-measured NEUTRAL on the flagship (ops/pallas_ln.py docstring), so
+    the kernel is opt-in via MMDTI_PALLAS_LN=1 and the default is the XLA
+    branch regardless of ``use_pallas``.
+    """
+
+    epsilon: float = 1e-5
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, out_dtype=None):
+        E = x.shape[-1]
+        od = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+        scale = self.param("scale", nn.initializers.ones, (E,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (E,), jnp.float32)
+        from mmdti_tpu.ops.pallas_ln import layer_norm_fused, ln_kernel_enabled
+
+        if ln_kernel_enabled(self.use_pallas, x.shape):
+            return layer_norm_fused(
+                x, scale, bias, epsilon=self.epsilon, out_dtype=od
+            )
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        y = (xf - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+        return y.astype(od)
+
+
 class LayerNormFP32(nn.Module):
     """LayerNorm computed in fp32 regardless of the compute dtype, cast back."""
 
     epsilon: float = 1e-5
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
-        out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32)
-        )
-        return out.astype(orig)
+        return FusedLN(epsilon=self.epsilon, use_pallas=self.use_pallas,
+                       name="ln")(x, out_dtype=x.dtype)

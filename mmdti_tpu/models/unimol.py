@@ -37,7 +37,7 @@ class PairBiasEncoderLayer(nn.Module):
         H, D = cfg.attention_heads, cfg.head_dim
 
         residual = x
-        x = LayerNormFP32(name="self_attn_layer_norm")(x)
+        x = LayerNormFP32(name="self_attn_layer_norm", use_pallas=self.use_pallas)(x)
         qkv = nn.Dense(3 * E, dtype=self.dtype, kernel_init=bert_normal_init(), name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -53,7 +53,7 @@ class PairBiasEncoderLayer(nn.Module):
         x = residual + nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
 
         residual = x
-        x = LayerNormFP32(name="final_layer_norm")(x)
+        x = LayerNormFP32(name="final_layer_norm", use_pallas=self.use_pallas)(x)
         x = nn.Dense(cfg.ffn_embed_dim, dtype=self.dtype, kernel_init=bert_normal_init(), name="fc1")(x)
         x = get_activation_fn(cfg.activation_fn)(x)
         x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
@@ -87,7 +87,7 @@ class UniMolEncoder(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         cfg = self.cfg
-        x = LayerNormFP32(name="emb_layer_norm")(emb)
+        x = LayerNormFP32(name="emb_layer_norm", use_pallas=self.use_pallas)(emb)
         x = nn.Dropout(cfg.emb_dropout)(x, deterministic=deterministic)
         if padding_mask is not None:
             x = x * (1.0 - padding_mask[..., None].astype(x.dtype))
@@ -113,7 +113,7 @@ class UniMolEncoder(nn.Module):
         x_norm = _masked_mean(token_mask, token_norm)
 
         if not cfg.post_ln:
-            x = LayerNormFP32(name="final_layer_norm")(x)
+            x = LayerNormFP32(name="final_layer_norm", use_pallas=self.use_pallas)(x)
 
         # delta pair representation: accumulated logits minus the (unfilled)
         # input bias, zeroed at padded keys, [B,N,N,H]
@@ -126,7 +126,7 @@ class UniMolEncoder(nn.Module):
         delta_norm = _masked_mean(pair_mask, _norm_loss(delta_pair), axis=(-1, -2))
 
         if cfg.delta_pair_repr_norm_loss >= 0:
-            delta_pair = LayerNormFP32(name="final_head_layer_norm")(delta_pair)
+            delta_pair = LayerNormFP32(name="final_head_layer_norm", use_pallas=self.use_pallas)(delta_pair)
 
         return {
             "rep": x,                                  # [B,N,E]
