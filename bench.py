@@ -38,9 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ESTIMATED_REFERENCE_MOLS_PER_SEC = 250.0
 
-BATCH = 32
-N_ATOMS = 64
-N_SMILES = 64
+# The headline benchmark is pinned at the reference finetune.py defaults
+# (batch 32).  MMDTI_BENCH_BATCH/_ATOMS/_SMILES let perf probes measure
+# other operating points with the same methodology without forking this
+# file; the driver never sets them, so the recorded number stays B=32.
+BATCH = int(os.environ.get("MMDTI_BENCH_BATCH", 32))
+N_ATOMS = int(os.environ.get("MMDTI_BENCH_ATOMS", 64))
+N_SMILES = int(os.environ.get("MMDTI_BENCH_SMILES", 64))
 WARMUP = 5
 STEPS = 200
 

@@ -329,6 +329,48 @@ class MolServe:
             return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))
         return np.concatenate(outs, axis=0)
 
+    # --- staged forward: dispatch (host work) / finalize (device pull) ----
+    # jax dispatch is asynchronous, so _dispatch_forward returns un-pulled
+    # device arrays almost immediately after the host featurize+collate.
+    # Splitting the two lets a pipeline (predict() itself, and
+    # DynamicBatcher's completion thread) featurize request k+1 while the
+    # device still crunches request k — host featurization and device time
+    # then overlap instead of adding up.
+    def _dispatch_forward(self, smiles: List[str]):
+        """Featurize + collate + async-dispatch under the serialization lock;
+        returns (chunks, feats) with chunks = [(device_out, n_valid), ...]
+        still in flight on device."""
+        with self._lock:
+            feats = self._featurize(smiles)
+            max_chunk = self.batch_buckets[-1]
+            chunks = []
+            for i in range(0, len(feats), max_chunk):
+                dev, n = self._device_feats(feats[i : i + max_chunk])
+                chunks.append((self._forward(self.params, dev), n))
+        return chunks, feats
+
+    def _finalize_forward(self, chunks, feats: List[Dict[str, Any]],
+                          t0: float) -> Dict[str, Any]:
+        """Pull the dispatched chunks, postprocess, record latency.  Runs
+        outside the lock — the pull only reads device outputs."""
+        raw = np.concatenate(
+            [np.asarray(out)[:n] for out, n in chunks], axis=0
+        )
+        with self._lat_lock:
+            self._latencies.append(time.perf_counter() - t0)
+        out = postprocess_predictions(
+            self.task, raw, self.scaler, self.threshold,
+            self.config.get("multiclass_cnt"),
+        )
+        out["target_cols"] = self.target_cols
+        # a molecule that fell through the conformer ladder to zero
+        # coordinates still gets a prediction (batch-scoring parity) but is
+        # flagged so callers can discard it
+        out["valid"] = np.array(
+            [not (np.asarray(f["src_coord"]) == 0.0).all() for f in feats]
+        )
+        return out
+
     # ------------------------------------------------------------------
     def predict(self, smiles: Union[str, Sequence[str]]) -> Dict[str, Any]:
         """SMILES (one or a list) -> {"predict", "proba", "target_cols",
@@ -344,27 +386,14 @@ class MolServe:
         if not smi_list:
             raise ValueError("empty SMILES request")
         t0 = time.perf_counter()
-        with self._lock:
-            feats = self._featurize(smi_list)
-            raw = self._run_batched(feats, self._forward)
-        # append/snapshot share a dedicated lock: latency_stats() iterates
-        # the deque from other server threads, and CPython raises "deque
-        # mutated during iteration" on a concurrent append.  (Not self._lock:
-        # /health must not block behind an in-flight predict.)
-        with self._lat_lock:
-            self._latencies.append(time.perf_counter() - t0)
-        out = postprocess_predictions(
-            self.task, raw, self.scaler, self.threshold,
-            self.config.get("multiclass_cnt"),
-        )
-        out["target_cols"] = self.target_cols
-        # a molecule that fell through the conformer ladder to zero
-        # coordinates still gets a prediction (batch-scoring parity) but is
-        # flagged so callers can discard it
-        out["valid"] = np.array(
-            [not (np.asarray(f["src_coord"]) == 0.0).all() for f in feats]
-        )
-        return out
+        # dispatch holds the lock (host featurize + collate); the device
+        # pull happens outside it, so a concurrent request's host stage
+        # overlaps this one's device time.  (The latency deque has its own
+        # lock: /health must not block behind an in-flight predict, and
+        # latency_stats() iterating the deque during a concurrent append
+        # raises in CPython.)
+        chunks, feats = self._dispatch_forward(smi_list)
+        return self._finalize_forward(chunks, feats, t0)
 
     def embed(self, smiles: Union[str, Sequence[str]]):
         """SMILES -> (cls_repr, pooled_repr) feature matrices (the serving
@@ -554,7 +583,8 @@ class MolServe:
 
 
 class DynamicBatcher:
-    """Coalesce concurrent predict requests into single device batches.
+    """Coalesce concurrent predict requests into single device batches,
+    pipelining host and device work across consecutive batches.
 
     A lone request waits at most ``window_ms`` for company; whatever arrived
     by then (capped at the largest batch bucket) rides one device dispatch.
@@ -562,24 +592,49 @@ class DynamicBatcher:
     a large throughput win when many clients hit the endpoint at once, since
     a single-molecule dispatch and a bucket-64 dispatch cost nearly the same
     device time.
+
+    Two threads form a pipeline over MolServe's staged forward:
+
+    * the **dispatch loop** gathers riders, then runs the HOST stage
+      (featurize + collate + async jax dispatch, `_dispatch_forward`) and
+      hands the in-flight device handles to
+    * the **completion thread**, which blocks on the device pull
+      (`_finalize_forward`) and distributes rows to riders.
+
+    While batch k's pull waits on the device, the dispatch loop is already
+    featurizing batch k+1 — sustained throughput approaches
+    max(host_stage, device_stage) instead of their sum.  The bounded
+    hand-off queue (``pipeline_depth``) back-pressures the dispatch loop so
+    at most that many batches are in flight on device.
     """
 
     _STOP = object()
 
     def __init__(self, serve: "MolServe", window_ms: float = 5.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None, pipeline_depth: int = 2):
         self.serve = serve
         self.window = float(window_ms) / 1e3
         self.max_batch = int(max_batch or serve.batch_buckets[-1])
         self._q: queue.Queue = queue.Queue()
+        self._cq: queue.Queue = queue.Queue(maxsize=max(1, int(pipeline_depth)))
         self.batches_run = 0
         self.requests_served = 0
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._stats_lock = threading.Lock()
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="mmdti-batcher-dispatch")
+        self._cthread = threading.Thread(
+            target=self._completion_loop, daemon=True,
+            name="mmdti-batcher-complete")
         self._thread.start()
+        self._cthread.start()
 
     def stop(self):
-        """Stop the coalescing thread (idempotent)."""
+        """Stop both pipeline threads (idempotent)."""
         self._q.put(self._STOP)
+
+    @property
+    def _alive(self) -> bool:
+        return self._thread.is_alive() and self._cthread.is_alive()
 
     def submit(self, smiles: List[str]) -> Dict[str, Any]:
         """Blocking: returns this request's rows of the coalesced batch."""
@@ -588,31 +643,28 @@ class DynamicBatcher:
         done = threading.Event()
         holder: Dict[str, Any] = {}
         self._q.put((list(smiles), done, holder))
-        # liveness guard: if the loop thread is gone (stop() or a fatal
-        # error), fail loudly instead of blocking this client forever
+        # liveness guard: if either pipeline thread is gone (stop() or a
+        # fatal error), fail loudly instead of blocking this client forever
         while not done.wait(timeout=1.0):
-            if not self._thread.is_alive():
-                raise RuntimeError("DynamicBatcher thread is not running")
+            if not self._alive:
+                raise RuntimeError("DynamicBatcher is not running")
         if "error" in holder:
             raise holder["error"]
         return holder["out"]
 
-    def _serve_pending(self, pending):
-        all_smiles = [s for smi, _, _ in pending for s in smi]
-        try:
-            out = self.serve.predict(all_smiles)
-        except Exception:
-            # blast-radius isolation: one rider's bad molecule (e.g. an
-            # unparseable SMILES raising in the featurizer) must not 500
-            # the innocent co-batched requests — retry each rider alone so
-            # only the failing ones error
-            for smi, done, holder in pending:
-                try:
-                    holder["out"] = self.serve.predict(list(smi))
-                except Exception as e:
-                    holder["error"] = e
-                done.set()
-            return
+    def _retry_each_alone(self, pending):
+        # blast-radius isolation: one rider's bad molecule (e.g. an
+        # unparseable SMILES raising in the featurizer) must not 500
+        # the innocent co-batched requests — retry each rider alone so
+        # only the failing ones error
+        for smi, done, holder in pending:
+            try:
+                holder["out"] = self.serve.predict(list(smi))
+            except Exception as e:
+                holder["error"] = e
+            done.set()
+
+    def _distribute(self, pending, out):
         row = 0
         for smi, done, holder in pending:
             n = len(smi)
@@ -627,9 +679,11 @@ class DynamicBatcher:
             done.set()
 
     def _loop(self):
+        """Dispatch loop: gather riders, run the host stage, hand off."""
         while True:
             first = self._q.get()
             if first is self._STOP:
+                self._cq.put(self._STOP)  # completion drains, then exits
                 return
             pending = [first]
             total = len(first[0])
@@ -647,15 +701,45 @@ class DynamicBatcher:
                     break
                 pending.append(item)
                 total += len(item[0])
+            all_smiles = [s for smi, _, _ in pending for s in smi]
+            t0 = time.perf_counter()
             try:
-                self._serve_pending(pending)
-            except Exception as e:  # belt-and-braces: never die mid-loop
-                for _, done, holder in pending:
-                    if not done.is_set():
-                        holder["error"] = e
-                        done.set()
+                chunks, feats = self.serve._dispatch_forward(all_smiles)
+            except Exception:
+                # host-stage failure (featurizer): resolve inline — the
+                # per-rider retries are themselves host work
+                self._count_batch(len(pending))
+                self._retry_each_alone(pending)
+                continue
+            self._cq.put((pending, chunks, feats, t0))
+
+    def _count_batch(self, n_riders: int):
+        # counters bump BEFORE rider events fire: a client that saw its
+        # submit() return must also see the stats reflect its batch (both
+        # pipeline threads update these, hence the lock)
+        with self._stats_lock:
             self.batches_run += 1
-            self.requests_served += len(pending)
+            self.requests_served += n_riders
+
+    def _completion_loop(self):
+        """Completion thread: pull device results, distribute to riders."""
+        while True:
+            item = self._cq.get()
+            if item is self._STOP:
+                return
+            pending, chunks, feats, t0 = item
+            self._count_batch(len(pending))
+            try:
+                out = self.serve._finalize_forward(chunks, feats, t0)
+                self._distribute(pending, out)
+            except Exception:
+                try:
+                    self._retry_each_alone(pending)
+                except Exception as e:  # belt-and-braces: never die mid-loop
+                    for _, done, holder in pending:
+                        if not done.is_set():
+                            holder["error"] = e
+                            done.set()
 
 
 def main(argv: Optional[List[str]] = None):

@@ -138,6 +138,71 @@ def main():
             "compiled_shapes": srv.compiled_shapes,
         }
 
+        # ---- sustained load, UNIQUE molecules: serial predict() loop vs
+        # concurrent clients through the pipelined DynamicBatcher.  Unique
+        # SMILES defeat the featurization cache, so the host featurize cost
+        # is real per batch — the pipeline's win is overlapping it with the
+        # previous batch's device pull. ---------------------------------
+        import threading as _th
+
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        # double-ether ladders C{a}OC{b}OC{c} with a+b+c fixed at 49: every
+        # string is globally unique across the probe (1128 combinations, no
+        # featurization-cache hits) while every molecule has exactly 51
+        # heavy atoms — one atom bucket, one smiles bucket, zero
+        # mid-measurement jit
+        _triples = [
+            (a, b, 49 - a - b)
+            for a in range(1, 48) for b in range(1, 49 - a)
+        ]
+        _uid = [0]
+
+        def unique_smiles(n):
+            out = []
+            for _ in range(n):
+                a, b, c = _triples[_uid[0]]
+                _uid[0] += 1
+                out.append("C" * a + "O" + "C" * b + "O" + "C" * c)
+            return out
+
+        n_batches = 8
+        # warm the atom buckets this ladder lands in (bucket jit must not
+        # pollute either timed section)
+        srv.predict(unique_smiles(args.batch))
+        # serial: one client, one batch at a time (featurize + pull serialized)
+        batches = [unique_smiles(args.batch) for _ in range(n_batches)]
+        t0 = time.time()
+        for b in batches:
+            srv.predict(b)
+        serial_s = time.time() - t0
+        serial_rate = n_batches * args.batch / serial_s
+
+        # pipelined: n_batches concurrent clients, max_batch = bucket size so
+        # each client's request is its own batch flowing through the pipeline
+        batches = [unique_smiles(args.batch) for _ in range(n_batches)]
+        batcher = DynamicBatcher(srv, window_ms=1.0, max_batch=args.batch)
+        threads = [
+            _th.Thread(target=batcher.submit, args=(b,)) for b in batches
+        ]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        pipe_s = time.time() - t0
+        pipe_rate = n_batches * args.batch / pipe_s
+        batcher.stop()
+        print(
+            f"sustained B={args.batch} x{n_batches} unique-SMILES: serial "
+            f"{serial_rate:.0f} mols/s, pipelined {pipe_rate:.0f} mols/s "
+            f"({pipe_rate / serial_rate:.2f}x)", flush=True,
+        )
+        result.update({
+            "sustained_serial_mols_per_s": round(serial_rate),
+            "sustained_pipelined_mols_per_s": round(pipe_rate),
+        })
+
         # ---- HTTP front round trip ---------------------------------------
         if not args.skip_http:
             import threading

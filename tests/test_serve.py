@@ -487,6 +487,89 @@ class TestDynamicBatching:
         assert np.isfinite(results["good"]["predict"]).all()
         batcher.stop()
 
+    def test_finalize_error_retries_per_rider(self, server, monkeypatch):
+        """A device-pull (completion-stage) failure must also fall back to
+        per-rider retries, not fail the shared batch."""
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        real_finalize = type(server)._finalize_forward
+        calls = {"n": 0}
+
+        def flaky(self, chunks, feats, t0):
+            calls["n"] += 1
+            if calls["n"] == 1:  # only the first (shared) batch fails
+                raise RuntimeError("injected pull failure")
+            return real_finalize(self, chunks, feats, t0)
+
+        monkeypatch.setattr(type(server), "_finalize_forward", flaky)
+        batcher = DynamicBatcher(server, window_ms=200.0)
+        results: dict = {}
+
+        def fire(name, smi):
+            results[name] = batcher.submit([smi])
+
+        threads = [
+            threading.Thread(target=fire, args=("a", "CCO")),
+            threading.Thread(target=fire, args=("b", "CCN")),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert calls["n"] >= 2  # first batch failed, retries re-ran it
+        assert np.isfinite(results["a"]["predict"]).all()
+        assert np.isfinite(results["b"]["predict"]).all()
+        batcher.stop()
+
+    def test_pipeline_overlaps_host_and_device(self, server, monkeypatch):
+        """Sustained-load pipelining: with the host stage (featurize +
+        dispatch) and device stage (pull) faked at H and D ms, K single-rider
+        batches must take ~K*H + D, not K*(H+D) — the completion thread
+        overlaps the pull of batch k with the dispatch of batch k+1."""
+        import time as _time
+
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        H = D = 0.08
+        K = 4
+
+        def fake_dispatch(self, smiles):
+            _time.sleep(H)  # host stage: featurize + collate + dispatch
+            return [("chunk", len(smiles))], [
+                {"src_coord": np.ones((3, 3))} for _ in smiles
+            ]
+
+        def fake_finalize(self, chunks, feats, t0):
+            _time.sleep(D)  # device stage: blocking pull
+            n = sum(c[1] for c in chunks)
+            return {
+                "predict": np.zeros((n, 1)), "proba": None,
+                "target_cols": self.target_cols,
+                "valid": np.ones(n, bool),
+            }
+
+        monkeypatch.setattr(type(server), "_dispatch_forward", fake_dispatch)
+        monkeypatch.setattr(type(server), "_finalize_forward", fake_finalize)
+        # max_batch=1: every rider is its own batch, so K batches flow
+        # through the two pipeline stages back to back
+        batcher = DynamicBatcher(server, window_ms=1.0, max_batch=1)
+        threads = [
+            threading.Thread(target=batcher.submit, args=(["CCO"],))
+            for _ in range(K)
+        ]
+        t0 = _time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        wall = _time.perf_counter() - t0
+        serial = K * (H + D)          # un-pipelined lower bound ~0.64s
+        pipelined = K * H + D         # ideal pipeline ~0.40s
+        # generous slack for a loaded 1-core host, but strictly below serial
+        assert wall < serial - 0.5 * D, (wall, serial, pipelined)
+        assert batcher.batches_run == K
+        batcher.stop()
+
     def test_stop_makes_submit_fail_loudly(self, server):
         from mmdti_tpu.api.serve_api import DynamicBatcher
 
