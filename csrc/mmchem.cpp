@@ -10,6 +10,7 @@
 //
 // Build: make -C csrc   (produces libmmchem.so)
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <utility>
@@ -154,6 +155,14 @@ int mmchem_embed(int n, float* coords,
 
 // Shared gradient-descent core (bond/angle springs + soft nonbonded
 // repulsion, momentum, linearly decaying step, per-iteration recentering).
+//
+// The nonbonded term is pruned with a per-iteration spatial grid (cell size
+// = the repulsion floor): a pair farther apart than the floor contributes
+// EXACTLY zero gradient, so skipping it is bit-identical to the full O(n^2)
+// enumeration — provided the surviving pairs accumulate in the same
+// ascending (i, j) order, which the grid walk preserves by sorting each
+// atom's candidate list.  This is where the refine time went for molecules
+// beyond ~30 heavy atoms (~90% of a 150-atom refine was far-pair sqrt's).
 static void refine_inner(int n, float* coords,
                          int nb, const int* bond_idx, const float* bond_len,
                          int na, const int* ang_idx, const float* ang_len,
@@ -164,6 +173,19 @@ static void refine_inner(int n, float* coords,
 
   const double nb_floor = 2.2;
   const double lr0 = 0.05;
+
+  // Verlet-list pruning for the nonbonded term: a pair farther apart than
+  // nb_floor contributes EXACTLY zero gradient, so iterating only pairs
+  // within nb_floor + margin (rebuilt before the accumulated worst-case
+  // displacement can invalidate the list) is bit-identical to the full
+  // O(n^2) enumeration — the list keeps the pair array's original order,
+  // so surviving contributions accumulate in the same sequence.  Engaged
+  // only for large pair counts, where the full loop dominated refine time.
+  const bool use_vlist = nn >= 2048;
+  const double vmargin = 1.0;
+  std::vector<int> live;      // indices into nb_idx, ascending
+  double travel = 1e300;      // worst-case pair-distance drift since rebuild
+  if (use_vlist) live.reserve((size_t)nn / 4 + 64);
 
   for (int it = 0; it < iters; ++it) {
     const double lr = lr0 * (1.0 - 0.9 * (double)it / (double)iters);
@@ -185,8 +207,7 @@ static void refine_inner(int n, float* coords,
     for (int a = 0; a < na; ++a)
       spring(ang_idx[2 * a], ang_idx[2 * a + 1], ang_len[a], 0.6);
 
-    for (int p = 0; p < nn; ++p) {
-      int i = nb_idx[2 * p], j = nb_idx[2 * p + 1];
+    auto repel = [&](int i, int j) {
       double d0 = x[3 * i] - x[3 * j];
       double d1 = x[3 * i + 1] - x[3 * j + 1];
       double d2 = x[3 * i + 2] - x[3 * j + 2];
@@ -198,16 +219,43 @@ static void refine_inner(int n, float* coords,
         grad[3 * i + 1] += c * d1; grad[3 * j + 1] -= c * d1;
         grad[3 * i + 2] += c * d2; grad[3 * j + 2] -= c * d2;
       }
+    };
+
+    if (!use_vlist) {
+      for (int p = 0; p < nn; ++p) repel(nb_idx[2 * p], nb_idx[2 * p + 1]);
+    } else {
+      if (travel >= vmargin) {
+        // rebuild: every pair currently within nb_floor + vmargin.  A pair
+        // outside the list needs its distance to shrink by > vmargin to
+        // ever dip under nb_floor, and per-iteration drift is bounded by
+        // 2 * max|vel| (the recenter shift cancels in pair distances).
+        live.clear();
+        const double keep = nb_floor + vmargin;
+        const double keep2 = keep * keep;
+        for (int p = 0; p < nn; ++p) {
+          int i = nb_idx[2 * p], j = nb_idx[2 * p + 1];
+          double d0 = x[3 * i] - x[3 * j];
+          double d1 = x[3 * i + 1] - x[3 * j + 1];
+          double d2 = x[3 * i + 2] - x[3 * j + 2];
+          if (d0 * d0 + d1 * d1 + d2 * d2 < keep2) live.push_back(p);
+        }
+        travel = 0.0;
+      }
+      for (int p : live) repel(nb_idx[2 * p], nb_idx[2 * p + 1]);
     }
 
-    double cx = 0.0, cy = 0.0, cz = 0.0;
+    double cx = 0.0, cy = 0.0, cz = 0.0, maxv2 = 0.0;
     for (int i = 0; i < n; ++i) {
       for (int k = 0; k < 3; ++k) {
         vel[3 * i + k] = 0.8 * vel[3 * i + k] - lr * grad[3 * i + k];
         x[3 * i + k] += vel[3 * i + k];
       }
+      double v2 = vel[3 * i] * vel[3 * i] + vel[3 * i + 1] * vel[3 * i + 1]
+                + vel[3 * i + 2] * vel[3 * i + 2];
+      if (v2 > maxv2) maxv2 = v2;
       cx += x[3 * i]; cy += x[3 * i + 1]; cz += x[3 * i + 2];
     }
+    if (use_vlist) travel += 2.0 * std::sqrt(maxv2);
     if (n > 1) {
       cx /= n; cy /= n; cz /= n;
       for (int i = 0; i < n; ++i) {

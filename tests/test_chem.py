@@ -218,6 +218,30 @@ class TestNativeParity:
             assert theirs is not None, smi
             np.testing.assert_allclose(ours, theirs, atol=1e-4, err_msg=smi)
 
+    def test_cpp_embed_matches_numpy_large_molecule(self):
+        """Large molecules take the C++ refine's Verlet-pruned nonbonded
+        path (engaged above ~2k nonbonded pairs): pairs beyond the repulsion
+        floor + margin are skipped between list rebuilds, which must stay
+        BIT-identical to the full enumeration (far pairs contribute exactly
+        zero).  Small-molecule cases above never reach that branch."""
+        from mmdti_tpu.chem import native
+        from mmdti_tpu.chem.conformer import _build_terms, _refine
+
+        if not (native.available() and native.embed_available()):
+            pytest.skip("native embed unavailable (covered by the test above)")
+        # 51 heavy atoms -> ~150 with H -> ~10k nonbonded pairs
+        smi = "C" * 20 + "O" + "C" * 15 + "O" + "C" * 14
+        mol = parse_smiles(smi).add_hydrogens()
+        terms = _build_terms(mol)
+        assert len(terms[4]) >= 2048, "expected the pruned-refine regime"
+        rng = np.random.RandomState(0)
+        n = mol.num_atoms()
+        c0 = (rng.randn(n, 3) * max(1.5, 0.8 * n ** (1 / 3) * 2)).astype(np.float32)
+        ours = _refine(c0.copy(), terms)
+        theirs = native.embed_coords(mol, c0.copy())
+        assert theirs is not None
+        np.testing.assert_array_equal(ours, theirs)
+
 
 class TestThreadedTransform:
     def test_pool_matches_serial_and_preserves_order(self):
