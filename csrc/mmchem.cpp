@@ -10,7 +10,6 @@
 //
 // Build: make -C csrc   (produces libmmchem.so)
 
-#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <utility>
@@ -156,13 +155,17 @@ int mmchem_embed(int n, float* coords,
 // Shared gradient-descent core (bond/angle springs + soft nonbonded
 // repulsion, momentum, linearly decaying step, per-iteration recentering).
 //
-// The nonbonded term is pruned with a per-iteration spatial grid (cell size
-// = the repulsion floor): a pair farther apart than the floor contributes
-// EXACTLY zero gradient, so skipping it is bit-identical to the full O(n^2)
-// enumeration — provided the surviving pairs accumulate in the same
-// ascending (i, j) order, which the grid walk preserves by sorting each
-// atom's candidate list.  This is where the refine time went for molecules
-// beyond ~30 heavy atoms (~90% of a 150-atom refine was far-pair sqrt's).
+// The nonbonded term is pruned with a Verlet neighbor list: a pair farther
+// apart than nb_floor contributes EXACTLY zero gradient, so iterating only
+// the pairs within nb_floor + vmargin — with the list rebuilt before the
+// accumulated worst-case drift could let an outside pair dip under the
+// floor — is bit-identical to the full O(n^2) enumeration.  The list holds
+// indices into the caller's pair array in ascending scan order, so the
+// surviving contributions accumulate in exactly the original sequence.
+// This is where the refine time went for molecules beyond ~30 heavy atoms
+// (~90% of a 150-atom refine was far-pair sqrt's); a spatial-grid variant
+// was tried first and measured SLOWER (per-iteration cell arrays cost more
+// than the pruning saved at these n).
 static void refine_inner(int n, float* coords,
                          int nb, const int* bond_idx, const float* bond_len,
                          int na, const int* ang_idx, const float* ang_len,

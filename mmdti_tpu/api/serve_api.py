@@ -318,44 +318,49 @@ class MolServe:
         )
         return dev, n
 
-    def _run_batched(self, feats: List[Dict[str, Any]], fn):
-        max_chunk = self.batch_buckets[-1]
-        outs = []
-        for i in range(0, len(feats), max_chunk):
-            dev, n = self._device_feats(feats[i : i + max_chunk])
-            out = fn(self.params, dev)
-            outs.append(jax.tree.map(lambda x: np.asarray(x)[:n], out))
-        if isinstance(outs[0], tuple):
-            return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))
-        return np.concatenate(outs, axis=0)
-
-    # --- staged forward: dispatch (host work) / finalize (device pull) ----
-    # jax dispatch is asynchronous, so _dispatch_forward returns un-pulled
+    # --- staged execution: dispatch (host work) / pull (device sync) ------
+    # jax dispatch is asynchronous, so the dispatch stage returns un-pulled
     # device arrays almost immediately after the host featurize+collate.
     # Splitting the two lets a pipeline (predict() itself, and
     # DynamicBatcher's completion thread) featurize request k+1 while the
     # device still crunches request k — host featurization and device time
     # then overlap instead of adding up.
+    def _dispatch_batched(self, feats: List[Dict[str, Any]], fn):
+        """Collate chunks (at most the largest batch bucket each) and
+        async-dispatch fn over them; returns [(device_out, n_valid), ...]
+        still in flight on device."""
+        max_chunk = self.batch_buckets[-1]
+        chunks = []
+        for i in range(0, len(feats), max_chunk):
+            dev, n = self._device_feats(feats[i : i + max_chunk])
+            chunks.append((fn(self.params, dev), n))
+        return chunks
+
+    @staticmethod
+    def _pull_batched(chunks):
+        """Block on the dispatched chunks and concatenate the valid rows."""
+        outs = [jax.tree.map(lambda x: np.asarray(x)[:n], out)
+                for out, n in chunks]
+        if isinstance(outs[0], tuple):
+            return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))
+        return np.concatenate(outs, axis=0)
+
+    def _run_batched(self, feats: List[Dict[str, Any]], fn):
+        return self._pull_batched(self._dispatch_batched(feats, fn))
+
     def _dispatch_forward(self, smiles: List[str]):
         """Featurize + collate + async-dispatch under the serialization lock;
-        returns (chunks, feats) with chunks = [(device_out, n_valid), ...]
-        still in flight on device."""
+        returns (chunks, feats)."""
         with self._lock:
             feats = self._featurize(smiles)
-            max_chunk = self.batch_buckets[-1]
-            chunks = []
-            for i in range(0, len(feats), max_chunk):
-                dev, n = self._device_feats(feats[i : i + max_chunk])
-                chunks.append((self._forward(self.params, dev), n))
+            chunks = self._dispatch_batched(feats, self._forward)
         return chunks, feats
 
     def _finalize_forward(self, chunks, feats: List[Dict[str, Any]],
                           t0: float) -> Dict[str, Any]:
         """Pull the dispatched chunks, postprocess, record latency.  Runs
         outside the lock — the pull only reads device outputs."""
-        raw = np.concatenate(
-            [np.asarray(out)[:n] for out, n in chunks], axis=0
-        )
+        raw = self._pull_batched(chunks)
         with self._lat_lock:
             self._latencies.append(time.perf_counter() - t0)
         out = postprocess_predictions(
@@ -381,8 +386,7 @@ class MolServe:
         batch scoring — they come back with valid=False; unparseable SMILES
         raise.
         """
-        one = isinstance(smiles, str)
-        smi_list = [smiles] if one else list(smiles)
+        smi_list = [smiles] if isinstance(smiles, str) else list(smiles)
         if not smi_list:
             raise ValueError("empty SMILES request")
         t0 = time.perf_counter()
@@ -604,8 +608,10 @@ class DynamicBatcher:
     While batch k's pull waits on the device, the dispatch loop is already
     featurizing batch k+1 — sustained throughput approaches
     max(host_stage, device_stage) instead of their sum.  The bounded
-    hand-off queue (``pipeline_depth``) back-pressures the dispatch loop so
-    at most that many batches are in flight on device.
+    hand-off queue (``pipeline_depth``) back-pressures the dispatch loop;
+    dispatched-but-unpulled batches are bounded by pipeline_depth + 2 (one
+    held by the completion thread mid-pull, plus one the dispatch loop
+    dispatched before blocking on the full queue).
     """
 
     _STOP = object()

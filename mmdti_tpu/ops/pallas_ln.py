@@ -72,13 +72,14 @@ def _row_block(T: int, E: int) -> int:
 
 def ln_kernel_enabled(use_pallas: bool, shape) -> bool:
     """Engage the fused LN kernel?  Chip-measured NEUTRAL on the flagship
-    (module docstring), so the default is OFF regardless of the model's
-    use_pallas flag; MMDTI_PALLAS_LN=1 opts in (still requires use_pallas
-    semantics to be legal, i.e. the shape contract), read at trace time."""
+    (module docstring), so the default is OFF; MMDTI_PALLAS_LN=1 opts in,
+    read at trace time.  The model's use_pallas flag stays a hard gate even
+    then — it carries the platform resolution (False on non-TPU backends,
+    and on the XLA numerics-oracle configuration), where the kernel must
+    never trace."""
     if os.environ.get("MMDTI_PALLAS_LN", "0") != "1":
         return False
-    del use_pallas  # opt-in is explicit; the flag alone never engages it
-    return layer_norm_supported(shape)
+    return bool(use_pallas) and layer_norm_supported(shape)
 
 
 def layer_norm_supported(shape) -> bool:

@@ -147,14 +147,19 @@ def main():
 
         from mmdti_tpu.api.serve_api import DynamicBatcher
 
-        # double-ether ladders C{a}OC{b}OC{c} with a+b+c fixed at 49: every
-        # string is globally unique across the probe (1128 combinations, no
-        # featurization-cache hits) while every molecule has exactly 51
-        # heavy atoms — one atom bucket, one smiles bucket, zero
-        # mid-measurement jit
+        # double-ether ladders C{a}OC{b}OC{c} with a+b+c fixed: every string
+        # is globally unique across the probe (no featurization-cache hits)
+        # while every molecule has the same heavy-atom count — one atom
+        # bucket, one smiles bucket, zero mid-measurement jit.  The chain
+        # total m is sized so (m-1)(m-2)/2 compositions cover the probe's
+        # 17 batches (1 warmup + 8 serial + 8 pipelined) at any --batch.
+        need = 17 * args.batch
+        m = 49
+        while (m - 1) * (m - 2) // 2 < need:
+            m += 8
         _triples = [
-            (a, b, 49 - a - b)
-            for a in range(1, 48) for b in range(1, 49 - a)
+            (a, b, m - a - b)
+            for a in range(1, m - 1) for b in range(1, m - a)
         ]
         _uid = [0]
 
@@ -182,15 +187,24 @@ def main():
         # each client's request is its own batch flowing through the pipeline
         batches = [unique_smiles(args.batch) for _ in range(n_batches)]
         batcher = DynamicBatcher(srv, window_ms=1.0, max_batch=args.batch)
-        threads = [
-            _th.Thread(target=batcher.submit, args=(b,)) for b in batches
-        ]
+        errors = []
+
+        def _rider(b):
+            try:
+                batcher.submit(b)
+            except Exception as e:  # must fail the probe, not vanish
+                errors.append(e)
+
+        threads = [_th.Thread(target=_rider, args=(b,)) for b in batches]
         t0 = time.time()
         for t in threads:
             t.start()
         for t in threads:
             t.join(timeout=600)
         pipe_s = time.time() - t0
+        # a failed or hung rider means the rate below would be fiction
+        assert not errors, errors
+        assert not any(t.is_alive() for t in threads), "rider join timed out"
         pipe_rate = n_batches * args.batch / pipe_s
         batcher.stop()
         print(

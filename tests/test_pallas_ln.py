@@ -119,9 +119,11 @@ class TestSupportGating:
         assert not pln.ln_kernel_enabled(True, (8, 128))
         monkeypatch.setenv("MMDTI_PALLAS_LN", "0")
         assert not pln.ln_kernel_enabled(True, (8, 128))
-        # explicit opt-in engages (chip-neutral default-off, see module doc)
+        # explicit opt-in engages (chip-neutral default-off, see module doc),
+        # but only where the model's platform-resolved use_pallas allows —
+        # the kernel must never trace on CPU/XLA-oracle configurations
         monkeypatch.setenv("MMDTI_PALLAS_LN", "1")
-        assert pln.ln_kernel_enabled(False, (8, 128))
+        assert not pln.ln_kernel_enabled(False, (8, 128))
         assert pln.ln_kernel_enabled(True, (8, 128))
         # unsupported shape never engages
         assert not pln.ln_kernel_enabled(True, (8, 100))
