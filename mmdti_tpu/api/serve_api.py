@@ -121,6 +121,14 @@ class MolServe:
                      the [B,N,N] distance/edge arrays inside the jit
                      (ops/pair_feats.py) — the dense pair arrays dominate
                      the request's host->device transfer otherwise.
+    serve_folds:     1 (default): serve fold 0 — the single-model latency
+                     contract.  K or 'all': serve the first K (or all) fold
+                     checkpoints of a CV experiment as an on-device
+                     ensemble — fold params are stacked leaf-wise and the
+                     forward is vmapped over the fold axis, so one dispatch
+                     returns the MolPredict-identical fold-mean (activated
+                     outputs averaged; K x the device FLOPs and K x the
+                     resident param HBM).
     """
 
     def __init__(
@@ -132,6 +140,7 @@ class MolServe:
         feature_cache: int = 4096,
         feature_cache_bytes: int = 256 << 20,
         device_pair_feats: Union[str, bool] = "auto",
+        serve_folds: Union[str, int] = 1,
     ):
         if not load_model or not os.path.isdir(load_model):
             raise ValueError(f"load_model must be an experiment dir, got {load_model!r}")
@@ -206,32 +215,68 @@ class MolServe:
             if cfg.get("crossmodal_overrides")
             else None,
         )
-        if int(cfg.get("model_folds", 1) or 1) > 1:
-            # CV experiment dirs hold K fold checkpoints; serving keeps the
-            # single-model latency contract and uses fold 0 (MolPredict is
-            # the fold-averaging batch path)
+        model_folds = int(cfg.get("model_folds", 1) or 1)
+        k = model_folds if serve_folds == "all" else int(serve_folds)
+        if k < 1 or k > model_folds:
+            raise ValueError(
+                f"serve_folds={serve_folds!r} but the experiment dir has "
+                f"{model_folds} fold checkpoint(s)"
+            )
+        self.serve_folds = k
+        if model_folds > 1 and k == 1:
+            # CV experiment dirs hold K fold checkpoints; the default keeps
+            # the single-model latency contract and uses fold 0
             logger.info(
                 "experiment dir has %s fold checkpoints; serving fold 0 "
-                "(use MolPredict for the fold-averaged ensemble)",
-                cfg.get("model_folds"),
+                "(pass serve_folds='all' for the on-device ensemble, or use "
+                "MolPredict for fold-averaged batch scoring)",
+                model_folds,
             )
-        ckpt = load_checkpoint(load_model, 0)
-        self.params = jax.device_put(ckpt["params"])
+        if k == 1:
+            self.params = jax.device_put(load_checkpoint(load_model, 0)["params"])
+        else:
+            # leaf-wise stack on host, ONE device_put: params gain a leading
+            # [k] fold axis the vmapped forward maps over
+            trees = [load_checkpoint(load_model, f)["params"] for f in range(k)]
+            self.params = jax.device_put(
+                jax.tree.map(lambda *xs: np.stack(xs), *trees)
+            )
+            logger.info("serving a %d-fold on-device ensemble", k)
 
         model, activation = self.model, self.activation_fn
 
         # Params are ARGUMENTS, never closure constants: closing over them
         # embeds 74M weights in the HLO and blows the remote-compile request
         # limit (HTTP 413, docs/PERF.md).
-        @jax.jit
-        def _forward(params, feats):
-            out = model.apply({"params": params}, **feats, deterministic=True)
-            return activation(out["logits"])
+        if k == 1:
+            @jax.jit
+            def _forward(params, feats):
+                out = model.apply({"params": params}, **feats, deterministic=True)
+                return activation(out["logits"])
 
-        @jax.jit
-        def _embed(params, feats):
-            out = model.apply({"params": params}, **feats, deterministic=True)
-            return out["cls_repr"], out["pooled"]
+            @jax.jit
+            def _embed(params, feats):
+                out = model.apply({"params": params}, **feats, deterministic=True)
+                return out["cls_repr"], out["pooled"]
+        else:
+            @jax.jit
+            def _forward(params, feats):
+                def one_fold(p):
+                    out = model.apply({"params": p}, **feats, deterministic=True)
+                    return activation(out["logits"])
+
+                # MolPredict's ensemble algebra exactly: mean of ACTIVATED
+                # outputs over folds (train/nnmodel.py::evaluate); the
+                # inverse target transform happens once, downstream
+                return jnp.mean(jax.vmap(one_fold)(params), axis=0)
+
+            @jax.jit
+            def _embed(params, feats):
+                # representations are per-model quantities, not ensemble
+                # means — extract from fold 0 (a lazy in-jit slice)
+                p0 = jax.tree.map(lambda x: x[0], params)
+                out = model.apply({"params": p0}, **feats, deterministic=True)
+                return out["cls_repr"], out["pooled"]
 
         self._forward = _forward
         self._embed = _embed
@@ -515,6 +560,7 @@ class MolServe:
                             "target_cols": serve.target_cols,
                             "compiled_shapes": serve.compiled_shapes,
                             "feature_cache_hits": serve.cache_hits,
+                            "serve_folds": serve.serve_folds,
                             "latency": serve.latency_stats(),
                         })
                     else:
@@ -759,8 +805,12 @@ def main(argv: Optional[List[str]] = None):
                     help="batch sizes to pre-compile (default: 1)")
     ap.add_argument("--batch-window-ms", type=float, default=0.0,
                     help="coalesce concurrent requests for this many ms (0 = off)")
+    ap.add_argument("--serve-folds", default="1",
+                    help="1 (fold 0, default), K, or 'all': serve a CV "
+                    "experiment's folds as an on-device vmapped ensemble")
     args = ap.parse_args(argv)
-    srv = MolServe(args.model_dir)
+    folds = args.serve_folds if args.serve_folds == "all" else int(args.serve_folds)
+    srv = MolServe(args.model_dir, serve_folds=folds)
     if args.warmup:
         srv.warmup(args.warmup)
     srv.serve(args.host, args.port, dynamic_batch_window_ms=args.batch_window_ms)

@@ -182,3 +182,36 @@ class TestKFoldSurface:
         groups = np.asarray(clf.data_train["group"])
         for tr_idx, va_idx in clf._cv_splits(2):
             assert not set(groups[tr_idx]) & set(groups[va_idx])
+
+
+class TestServeEnsemble:
+    def test_serve_all_folds_matches_molpredict(self, cv_exp, tmp_path):
+        """serve_folds='all' must reproduce MolPredict's fold-mean exactly:
+        the vmapped on-device ensemble averages activated outputs the same
+        way evaluate() does (no scaler in FAST, so the algebra is exact)."""
+        from mmdti_tpu import MolPredict, MolServe
+
+        _, exp, df = cv_exp
+        test_csv = str(tmp_path / "test.csv")
+        df.iloc[:6].to_csv(test_csv, index=False)
+        ens = MolPredict(load_model=exp).predict(test_csv)
+
+        srv = MolServe(exp, serve_folds="all")
+        assert srv.serve_folds == 2
+        out = srv.predict(list(df.iloc[:6]["smiles"]))["predict"]
+        np.testing.assert_allclose(out, ens, rtol=1e-4, atol=1e-4)
+
+        # and the default stays the single-fold latency contract
+        solo = MolServe(exp)
+        assert solo.serve_folds == 1
+        y0 = solo.predict(list(df.iloc[:6]["smiles"]))["predict"]
+        assert not np.allclose(y0, out)  # the ensemble really averaged
+
+    def test_serve_folds_validated(self, cv_exp):
+        from mmdti_tpu import MolServe
+
+        _, exp, _ = cv_exp
+        with pytest.raises(ValueError, match="serve_folds"):
+            MolServe(exp, serve_folds=5)
+        with pytest.raises(ValueError, match="serve_folds"):
+            MolServe(exp, serve_folds=0)
