@@ -554,7 +554,7 @@ class MolServe:
             def do_GET(self):
                 try:
                     if self.path.rstrip("/") in ("", "/health"):
-                        self._reply(200, {
+                        body = {
                             "status": "ok",
                             "task": serve.task,
                             "target_cols": serve.target_cols,
@@ -562,7 +562,14 @@ class MolServe:
                             "feature_cache_hits": serve.cache_hits,
                             "serve_folds": serve.serve_folds,
                             "latency": serve.latency_stats(),
-                        })
+                        }
+                        if batcher is not None:
+                            body["batcher"] = {
+                                "batches_run": batcher.batches_run,
+                                "requests_served": batcher.requests_served,
+                                "pending": batcher._q.qsize(),
+                            }
+                        self._reply(200, body)
                     else:
                         self._reply(404, {"error": f"unknown path {self.path}"})
                 except Exception as e:  # the liveness probe must never 500-crash
@@ -587,8 +594,12 @@ class MolServe:
                         self._reply(400, {"error": "body must be {'smiles': [...]}"})
                         return
                     if self.path.rstrip("/") == "/predict":
-                        out = (batcher.submit(smiles) if batcher
-                               else serve.predict(smiles))
+                        try:
+                            out = (batcher.submit(smiles) if batcher
+                                   else serve.predict(smiles))
+                        except OverloadedError as e:
+                            self._reply(429, {"error": str(e)})
+                            return
                         self._reply(200, {
                             "predict": np.asarray(out["predict"]).tolist(),
                             "proba": None if out["proba"] is None
@@ -632,6 +643,11 @@ class MolServe:
             server.server_close()
 
 
+class OverloadedError(RuntimeError):
+    """Raised by DynamicBatcher.submit when the pending queue is full;
+    the HTTP front maps it to 429 so clients can back off."""
+
+
 class DynamicBatcher:
     """Coalesce concurrent predict requests into single device batches,
     pipelining host and device work across consecutive batches.
@@ -663,10 +679,12 @@ class DynamicBatcher:
     _STOP = object()
 
     def __init__(self, serve: "MolServe", window_ms: float = 5.0,
-                 max_batch: Optional[int] = None, pipeline_depth: int = 2):
+                 max_batch: Optional[int] = None, pipeline_depth: int = 2,
+                 max_pending: int = 1024):
         self.serve = serve
         self.window = float(window_ms) / 1e3
         self.max_batch = int(max_batch or serve.batch_buckets[-1])
+        self.max_pending = int(max_pending)
         self._q: queue.Queue = queue.Queue()
         self._cq: queue.Queue = queue.Queue(maxsize=max(1, int(pipeline_depth)))
         self.batches_run = 0
@@ -689,9 +707,20 @@ class DynamicBatcher:
         return self._thread.is_alive() and self._cthread.is_alive()
 
     def submit(self, smiles: List[str]) -> Dict[str, Any]:
-        """Blocking: returns this request's rows of the coalesced batch."""
+        """Blocking: returns this request's rows of the coalesced batch.
+
+        Raises OverloadedError when more than ``max_pending`` riders are
+        already queued — each queued rider blocks an HTTP thread, so
+        shedding load here bounds both memory and thread count under a
+        burst (the HTTP front maps it to 429).
+        """
         if not smiles:  # reject here — must not fail a whole shared batch
             raise ValueError("empty SMILES request")
+        if self._q.qsize() >= self.max_pending:
+            raise OverloadedError(
+                f"{self._q.qsize()} requests already queued "
+                f"(max_pending={self.max_pending})"
+            )
         done = threading.Event()
         holder: Dict[str, Any] = {}
         self._q.put((list(smiles), done, holder))

@@ -570,6 +570,42 @@ class TestDynamicBatching:
         assert batcher.batches_run == K
         batcher.stop()
 
+    def test_overload_shedding(self, server, monkeypatch):
+        """Past max_pending queued riders, submit sheds load with
+        OverloadedError instead of queueing unboundedly."""
+        import time as _t
+
+        from mmdti_tpu.api.serve_api import DynamicBatcher, OverloadedError
+
+        gate = threading.Event()
+        orig = type(server)._dispatch_forward
+
+        def stalled(self, smiles):
+            gate.wait(60)  # hold the dispatch loop so the queue backs up
+            return orig(self, smiles)
+
+        monkeypatch.setattr(type(server), "_dispatch_forward", stalled)
+        # max_batch=1: the stalled dispatch holds exactly one rider, the
+        # rest back up in the queue instead of coalescing into its batch
+        batcher = DynamicBatcher(server, window_ms=1.0, max_pending=2,
+                                 max_batch=1)
+        riders = [
+            threading.Thread(target=lambda: batcher.submit(["CCO"]))
+            for _ in range(4)
+        ]
+        for t in riders:
+            t.start()
+        deadline = _t.monotonic() + 30.0
+        while batcher._q.qsize() < 2 and _t.monotonic() < deadline:
+            _t.sleep(0.01)
+        assert batcher._q.qsize() >= 2, "queue never backed up"
+        with pytest.raises(OverloadedError):
+            batcher.submit(["CCN"])
+        gate.set()
+        for t in riders:
+            t.join(timeout=120)
+        batcher.stop()
+
     def test_stop_makes_submit_fail_loudly(self, server):
         from mmdti_tpu.api.serve_api import DynamicBatcher
 
