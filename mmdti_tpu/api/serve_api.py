@@ -129,6 +129,11 @@ class MolServe:
                      returns the MolPredict-identical fold-mean (activated
                      outputs averaged; K x the device FLOPs and K x the
                      resident param HBM).
+    mesh_shape:      optional (data, model) device-mesh shape for scale-out
+                     serving.  Request batches shard over 'data' (DP); with
+                     model>1 the TP_RULES kernels shard over 'model' exactly
+                     as in training.  Batch buckets quantize up to multiples
+                     of the data axis.  None (default) = single device.
     """
 
     def __init__(
@@ -141,6 +146,7 @@ class MolServe:
         feature_cache_bytes: int = 256 << 20,
         device_pair_feats: Union[str, bool] = "auto",
         serve_folds: Union[str, int] = 1,
+        mesh_shape: Optional[Sequence[int]] = None,
     ):
         if not load_model or not os.path.isdir(load_model):
             raise ValueError(f"load_model must be an experiment dir, got {load_model!r}")
@@ -151,6 +157,25 @@ class MolServe:
         self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
         if not self.batch_buckets:
             raise ValueError("batch_buckets must be non-empty")
+
+        # --- optional device mesh (scale-out serving) ----------------------
+        # mesh_shape=(data, model) serves one resident model over several
+        # chips: request batches shard over the 'data' axis (pure DP) and,
+        # with model>1, the TP_RULES kernels shard over 'model' exactly as in
+        # training (parallel/mesh.py) — jit propagates the input shardings,
+        # so the forward code is unchanged and XLA inserts the collectives.
+        self.mesh = None
+        if mesh_shape is not None:
+            from mmdti_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+            self.mesh = make_mesh(tuple(int(x) for x in mesh_shape))
+            dp = int(self.mesh.shape[DATA_AXIS])
+            if dp > 1:
+                # batch-dim sharding needs buckets divisible by the data
+                # axis; quantize UP so every request still fits one bucket
+                self.batch_buckets = tuple(
+                    sorted({max(dp, -(-b // dp) * dp) for b in self.batch_buckets})
+                )
 
         cfg = dict(self.config)
 
@@ -233,14 +258,37 @@ class MolServe:
                 model_folds,
             )
         if k == 1:
-            self.params = jax.device_put(load_checkpoint(load_model, 0)["params"])
+            params = load_checkpoint(load_model, 0)["params"]
+            if self.mesh is not None:
+                from mmdti_tpu.parallel.mesh import param_sharding
+
+                # TP_RULES over 'model' (replication with model-dim 1) —
+                # the same placement Trainer._place_params uses in training
+                self.params = jax.device_put(
+                    params, param_sharding(self.mesh, params)
+                )
+            else:
+                self.params = jax.device_put(params)
         else:
+            from mmdti_tpu.parallel.mesh import MODEL_AXIS
+
+            if self.mesh is not None and int(self.mesh.shape[MODEL_AXIS]) > 1:
+                # the fold axis shifts every kernel to rank 3, so the rank-2
+                # TP_RULES specs would shard the wrong dim — refuse loudly
+                raise ValueError(
+                    "serve_folds>1 with a tensor-parallel mesh (model axis > 1) "
+                    "is unsupported; use a pure-DP mesh_shape=(n, 1)"
+                )
             # leaf-wise stack on host, ONE device_put: params gain a leading
             # [k] fold axis the vmapped forward maps over
             trees = [load_checkpoint(load_model, f)["params"] for f in range(k)]
-            self.params = jax.device_put(
-                jax.tree.map(lambda *xs: np.stack(xs), *trees)
-            )
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *trees)
+            if self.mesh is not None:
+                from mmdti_tpu.parallel.mesh import replicate
+
+                self.params = replicate(self.mesh, stacked)
+            else:
+                self.params = jax.device_put(stacked)
             logger.info("serving a %d-fold on-device ensemble", k)
 
         model, activation = self.model, self.activation_fn
@@ -357,11 +405,26 @@ class MolServe:
         padded = feats_chunk + [feats_chunk[-1]] * (bucket - n)
         zero = np.zeros(max(1, self.output_dim), dtype=np.float32)
         batch, _ = self.collator([(f, zero) for f in padded])
-        dev = {k: jnp.asarray(batch[k]) for k in _FEATURE_KEYS if k in batch}
+        dev = self._place_feats(
+            {k: batch[k] for k in _FEATURE_KEYS if k in batch}
+        )
         self._shapes_seen.add(
             (bucket, batch["src_tokens"].shape[1], batch["input_ids"].shape[1])
         )
         return dev, n
+
+    def _place_feats(self, feats: Dict[str, Any]) -> Dict[str, Any]:
+        """Ship a collated feature dict to device: one tree device_put with
+        the batch dim sharded over the mesh's 'data' axis when serving on a
+        mesh, a plain single-device transfer otherwise."""
+        if self.mesh is not None:
+            from mmdti_tpu.parallel.mesh import batch_sharding
+
+            return jax.device_put(
+                {k: np.asarray(v) for k, v in feats.items()},
+                batch_sharding(self.mesh),
+            )
+        return {k: jnp.asarray(v) for k, v in feats.items()}
 
     # --- staged execution: dispatch (host work) / pull (device sync) ------
     # jax dispatch is asynchronous, so the dispatch stage returns un-pulled
@@ -488,18 +551,19 @@ class MolServe:
                     tok = np.full((bucket, na), pad, np.int32)
                     tok[:, 0] = self.dictionary.bos()  # >=1 valid atom: no 0-div pooling
                     feats = {
-                        "src_tokens": jnp.asarray(tok),
-                        "input_ids": jnp.ones((bucket, ns), jnp.int32),
-                        "attention_mask": jnp.ones((bucket, ns), jnp.int32),
+                        "src_tokens": tok,
+                        "input_ids": np.ones((bucket, ns), np.int32),
+                        "attention_mask": np.ones((bucket, ns), np.int32),
                     }
                     # match the exact feature-dict structure real requests
                     # ship — a different key set would compile a different
                     # jit signature and the warmup would buy nothing
                     if self.collator.pair_feats == "device":
-                        feats["src_coord"] = jnp.zeros((bucket, na, 3), jnp.float32)
+                        feats["src_coord"] = np.zeros((bucket, na, 3), np.float32)
                     else:
-                        feats["src_distance"] = jnp.zeros((bucket, na, na), jnp.float32)
-                        feats["src_edge_type"] = jnp.full((bucket, na, na), pad, jnp.int32)
+                        feats["src_distance"] = np.zeros((bucket, na, na), np.float32)
+                        feats["src_edge_type"] = np.full((bucket, na, na), pad, np.int32)
+                    feats = self._place_feats(feats)
                     np.asarray(self._forward(self.params, feats))  # sync = compiled
                     self._shapes_seen.add((bucket, na, ns))
         return self
@@ -837,9 +901,13 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--serve-folds", default="1",
                     help="1 (fold 0, default), K, or 'all': serve a CV "
                     "experiment's folds as an on-device vmapped ensemble")
+    ap.add_argument("--mesh", type=int, nargs=2, default=None,
+                    metavar=("DATA", "MODEL"),
+                    help="serve over a (data, model) device mesh: batches "
+                    "shard over DATA chips, TP kernels over MODEL")
     args = ap.parse_args(argv)
     folds = args.serve_folds if args.serve_folds == "all" else int(args.serve_folds)
-    srv = MolServe(args.model_dir, serve_folds=folds)
+    srv = MolServe(args.model_dir, serve_folds=folds, mesh_shape=args.mesh)
     if args.warmup:
         srv.warmup(args.warmup)
     srv.serve(args.host, args.port, dynamic_batch_window_ms=args.batch_window_ms)

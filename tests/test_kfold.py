@@ -215,3 +215,24 @@ class TestServeEnsemble:
             MolServe(exp, serve_folds=5)
         with pytest.raises(ValueError, match="serve_folds"):
             MolServe(exp, serve_folds=0)
+
+    def test_fold_ensemble_on_dp_mesh(self, cv_exp):
+        """The vmapped fold ensemble serves on a pure-DP mesh (params
+        replicated with their leading fold axis intact)."""
+        from mmdti_tpu import MolServe
+
+        _, exp, df = cv_exp
+        smiles = list(df.iloc[:6]["smiles"])
+        base = MolServe(exp, serve_folds="all").predict(smiles)["predict"]
+        meshed = MolServe(exp, serve_folds="all", mesh_shape=(8, 1))
+        out = meshed.predict(smiles)["predict"]
+        np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-6)
+
+    def test_fold_ensemble_rejects_tp_mesh(self, cv_exp):
+        """Rank-2 TP_RULES specs would shard the wrong dim of the rank-3
+        fold-stacked kernels — the combination must refuse loudly."""
+        from mmdti_tpu import MolServe
+
+        _, exp, _ = cv_exp
+        with pytest.raises(ValueError, match="tensor-parallel"):
+            MolServe(exp, serve_folds="all", mesh_shape=(4, 2))

@@ -641,3 +641,46 @@ class TestDynamicBatching:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+class TestMeshServe:
+    """Scale-out serving: the same MolServe surface over an explicit device
+    mesh (mesh_shape=(data, model)) — request batches shard over 'data',
+    TP_RULES kernels over 'model'; predictions must match the single-device
+    server on the 8-virtual-device CPU mesh."""
+
+    def test_dp_mesh_matches_single_device(self, server, serve_exp):
+        exp, _, smiles = serve_exp
+        from mmdti_tpu import MolServe
+
+        meshed = MolServe(exp, mesh_shape=(8, 1))
+        # batch buckets quantized up to multiples of the data axis
+        assert all(b % 8 == 0 for b in meshed.batch_buckets)
+        base = server.predict(smiles)
+        out = meshed.predict(smiles)
+        assert out["predict"].shape == base["predict"].shape
+        np.testing.assert_allclose(
+            out["predict"], base["predict"], rtol=1e-5, atol=1e-6
+        )
+        assert list(out["valid"]) == list(base["valid"])
+
+    def test_dp_tp_mesh_matches_single_device(self, server, serve_exp):
+        exp, _, smiles = serve_exp
+        from mmdti_tpu import MolServe
+
+        meshed = MolServe(exp, mesh_shape=(4, 2))
+        out = meshed.predict(smiles)
+        base = server.predict(smiles)
+        np.testing.assert_allclose(
+            out["predict"], base["predict"], rtol=1e-4, atol=1e-5
+        )
+
+    def test_mesh_embed_matches(self, server, serve_exp):
+        exp, _, smiles = serve_exp
+        from mmdti_tpu import MolServe
+
+        meshed = MolServe(exp, mesh_shape=(8, 1))
+        cls_m, pooled_m = meshed.embed(smiles)
+        cls_s, pooled_s = server.embed(smiles)
+        np.testing.assert_allclose(cls_m, cls_s, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(pooled_m, pooled_s, rtol=1e-5, atol=1e-6)
