@@ -625,6 +625,10 @@ class MolServe:
                             "compiled_shapes": serve.compiled_shapes,
                             "feature_cache_hits": serve.cache_hits,
                             "serve_folds": serve.serve_folds,
+                            "mesh": (
+                                dict(serve.mesh.shape)
+                                if serve.mesh is not None else None
+                            ),
                             "latency": serve.latency_stats(),
                         }
                         if batcher is not None:

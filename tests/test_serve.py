@@ -353,6 +353,7 @@ class TestHTTPFront:
         assert r.status == 200
         assert body["status"] == "ok"
         assert body["task"] == "regression"
+        assert body["mesh"] is None  # single-device server
 
     def test_predict_roundtrip(self, http_server, server):
         code, body = self._post(http_server + "/predict", {"smiles": ["CCO", "CCN"]})
