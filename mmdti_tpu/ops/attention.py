@@ -133,7 +133,9 @@ def masked_attention(q_tok, k_tok, v_tok, mask_bias, *, num_heads,
     if use_pallas:
         from mmdti_tpu.ops.pallas_attention import masked_attention_supported
 
-        use_pallas = masked_attention_supported(H, D, q_tok.shape[1], k_tok.shape[1])
+        use_pallas = masked_attention_supported(
+            H, D, q_tok.shape[1], k_tok.shape[1], batch=q_tok.shape[0]
+        )
     if use_pallas:
         from mmdti_tpu.ops.pallas_attention import masked_attention_pallas
 
@@ -163,8 +165,9 @@ def pair_bias_attention(q_tok, k_tok, v_tok, bias, *, num_heads,
         from mmdti_tpu.ops.pallas_attention import pallas_attention_supported
 
         # long sequences exceed the kernel's VMEM envelope -> XLA path
-        # (remat already auto-enables there, train/nnmodel.py)
-        use_pallas = pallas_attention_supported(H, D, N)
+        # (remat already auto-enables there, train/nnmodel.py); under an
+        # active kernel mesh the check also covers shard divisibility
+        use_pallas = pallas_attention_supported(H, D, N, batch=q_tok.shape[0])
     if use_pallas:
         from mmdti_tpu.ops.pallas_attention import pair_bias_attention_pallas
 

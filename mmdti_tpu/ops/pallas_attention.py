@@ -362,11 +362,79 @@ def _chunk_policy(H: int, n_rows: int, n_cols: int, D: int,
     return None
 
 
-def pallas_attention_supported(num_heads: int, head_dim: int, seq_len: int) -> bool:
-    """Whether the fused kernels handle these shapes (else use the XLA path)."""
+# ---------------------------------------------------------------------------
+# Mesh sharding.  pallas_call has no GSPMD partitioning rule, so inside a
+# batch-sharded jit'd program the mosaic custom-call would force XLA to
+# all-gather its operands (replicating the [B,H,N,N] pair chain across the
+# mesh — exactly what DP exists to avoid).  When a mesh is registered
+# (parallel.mesh.set_kernel_mesh, done by Trainer/MolServe/dryrun), the
+# public wrappers below wrap the kernel in jax.shard_map: batch shards over
+# 'data' and — when the head count divides legally — heads shard over
+# 'model' (q/k/v are token-major with heads contiguous on E, so sharding E
+# over 'model' IS head sharding; the pair bias shards its H dim).  Each
+# shard runs the unmodified kernel on local shapes; gradients flow through
+# shard_map's transpose (validated incl. replicated-operand psum on the
+# 8-virtual-device CPU mesh, tests/test_pallas_mesh.py).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mesh_axes():
+    """(mesh, data_par, model_par); (None, 1, 1) when no mesh is active."""
+    from mmdti_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, get_kernel_mesh
+
+    mesh = get_kernel_mesh()
+    if mesh is None:
+        return None, 1, 1
+    return mesh, mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+
+
+def _mesh_local_counts(num_heads: int, batch: Optional[int]):
+    """(H_local, B_local) under the active mesh, or None when the mesh cannot
+    partition these shapes (indivisible batch/heads) — callers fall back to
+    the XLA path, which GSPMD partitions natively."""
+    mesh, dp, mp = _kernel_mesh_axes()
+    if mesh is None:
+        return num_heads, batch
+    if batch is not None and batch % dp != 0:
+        return None
+    if num_heads % mp != 0:
+        return None
+    return num_heads // mp, None if batch is None else batch // dp
+
+
+# Odd 32-bit strides scattering per-shard dropout seeds: the per-program PRNG
+# seeding (seed + flat_pid) restarts pid at 0 on every shard, so without an
+# offset all data shards would replay IDENTICAL dropout masks.
+_SEED_STRIDE_DATA = -1640531527   # 0x9E3779B9 as int32
+_SEED_STRIDE_MODEL = 461845907    # 0x1B873593
+
+
+def _shard_seed(seed, dp, mp):
+    from mmdti_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if dp > 1:
+        off = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        seed = seed + off * jnp.int32(_SEED_STRIDE_DATA)
+    if mp > 1:
+        off = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32)
+        seed = seed + off * jnp.int32(_SEED_STRIDE_MODEL)
+    return seed
+
+
+def pallas_attention_supported(num_heads: int, head_dim: int, seq_len: int,
+                               batch: Optional[int] = None) -> bool:
+    """Whether the fused kernels handle these shapes (else use the XLA path).
+
+    Mesh-aware: under an active kernel mesh the policy is evaluated at the
+    per-shard shapes (batch/data, heads/model), and indivisible combinations
+    report False so callers take the GSPMD-partitioned XLA path."""
+    local = _mesh_local_counts(num_heads, batch)
+    if local is None:
+        return False
+    h_local, _ = local
     return (
         seq_len % 8 == 0
-        and _chunk_policy(num_heads, seq_len, seq_len, head_dim) is not None
+        and _chunk_policy(h_local, seq_len, seq_len, head_dim) is not None
     )
 
 
@@ -588,12 +656,17 @@ def _masked_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, gout_ref,
 
 
 def masked_attention_supported(num_heads: int, head_dim: int, q_len: int,
-                               k_len: int) -> bool:
-    """Whether the masked-attention kernels handle these shapes."""
+                               k_len: int, batch: Optional[int] = None) -> bool:
+    """Whether the masked-attention kernels handle these shapes (mesh-aware,
+    see pallas_attention_supported)."""
+    local = _mesh_local_counts(num_heads, batch)
+    if local is None:
+        return False
+    h_local, _ = local
     return (
         q_len % 8 == 0
         and k_len % 8 == 0
-        and _chunk_policy(num_heads, q_len, k_len, head_dim,
+        and _chunk_policy(h_local, q_len, k_len, head_dim,
                           elem_cap=_MASKED_ELEM_CAP,
                           full_row_cap=_MASKED_FULL_ROW_CAP) is not None
     )
@@ -707,6 +780,33 @@ def masked_attention_pallas(
     )
     seed = _seed_from_rng(dropout_rng)
     det = deterministic or dropout_rate == 0.0 or dropout_rng is None
+    mesh, dp, mp = _kernel_mesh_axes()
+    if mesh is not None:
+        if q.shape[0] % dp or num_heads % mp:
+            raise ValueError(
+                f"masked attention cannot shard B={q.shape[0]}, H={num_heads} "
+                f"over a ({dp},{mp}) mesh; gate with "
+                "masked_attention_supported(..., batch=B)"
+            )
+        from jax.sharding import PartitionSpec as P
+
+        from mmdti_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        h_local = int(num_heads) // mp
+        m_ax = MODEL_AXIS if mp > 1 else None
+        tok = P(DATA_AXIS, None, m_ax)
+
+        def _body(seed, q, k, v, mask):
+            return _masked_attention(
+                q, k, v, mask, float(dropout_rate), _shard_seed(seed, dp, mp),
+                bool(det), h_local,
+            )
+
+        return jax.shard_map(
+            _body, mesh=mesh,
+            in_specs=(P(), tok, tok, tok, P(DATA_AXIS, None, None)),
+            out_specs=tok, check_vma=False,
+        )(seed, q, k, v, mask_bias)
     return _masked_attention(
         q, k, v, mask_bias, float(dropout_rate), seed, bool(det),
         int(num_heads),
@@ -727,7 +827,36 @@ def pair_bias_attention_pallas(
     """Fused pair-bias attention; returns (out [B,N,E], logits [B,H,N,N])."""
     seed = _seed_from_rng(dropout_rng)
     det = deterministic or dropout_rate == 0.0 or dropout_rng is None
+    pd_name = jnp.dtype(pair_dtype).name
+    mesh, dp, mp = _kernel_mesh_axes()
+    if mesh is not None:
+        if q.shape[0] % dp or num_heads % mp:
+            raise ValueError(
+                f"pair-bias attention cannot shard B={q.shape[0]}, "
+                f"H={num_heads} over a ({dp},{mp}) mesh; gate with "
+                "pallas_attention_supported(..., batch=B)"
+            )
+        from jax.sharding import PartitionSpec as P
+
+        from mmdti_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        h_local = int(num_heads) // mp
+        m_ax = MODEL_AXIS if mp > 1 else None
+        tok = P(DATA_AXIS, None, m_ax)
+        pair = P(DATA_AXIS, m_ax, None, None)
+
+        def _body(seed, q, k, v, bias):
+            return _pallas_attention(
+                q, k, v, bias, float(dropout_rate), _shard_seed(seed, dp, mp),
+                bool(det), h_local, pd_name,
+            )
+
+        return jax.shard_map(
+            _body, mesh=mesh,
+            in_specs=(P(), tok, tok, tok, pair),
+            out_specs=(tok, pair), check_vma=False,
+        )(seed, q, k, v, bias)
     return _pallas_attention(
         q, k, v, bias, float(dropout_rate), seed, bool(det),
-        int(num_heads), jnp.dtype(pair_dtype).name,
+        int(num_heads), pd_name,
     )

@@ -79,12 +79,24 @@ def _act_and_grad(name: str):
 
 
 def gbf_fused_supported(seq_len: int, kernels: int, hidden: int, heads: int,
-                        activation: str) -> bool:
-    """Whether the fused kernel handles these shapes (else use the XLA path)."""
+                        activation: str, batch=None) -> bool:
+    """Whether the fused kernel handles these shapes (else use the XLA path).
+
+    Mesh-aware (see ops/pallas_attention.py): under an active kernel mesh the
+    kernel runs per-shard via shard_map — batch over 'data', the H output dim
+    over 'model' — so the shape rules apply to the LOCAL counts; indivisible
+    combinations report False and the caller takes the GSPMD'd XLA path."""
     try:
         _act_and_grad(activation)
     except ValueError:
         return False
+    from mmdti_tpu.ops.pallas_attention import _kernel_mesh_axes
+
+    mesh, dp, mp = _kernel_mesh_axes()
+    if mesh is not None:
+        if (batch is not None and batch % dp != 0) or heads % mp != 0:
+            return False
+        heads = heads // mp
     return (
         seq_len % _ROW_BLOCK == 0
         and kernels % 8 == 0
@@ -282,11 +294,46 @@ def gbf_pair_bias_fused(
     transpose (0, 2, 1, 3) for the attention kernels' [B, H, N, N].
     """
     std = jnp.abs(stds) + 1e-5          # autodiff handles |.| outside the vjp
-    return _gbf_fused(
+    args = (
         u.astype(jnp.float32),
         means.astype(jnp.float32).reshape(-1, 1),
         std.astype(jnp.float32).reshape(-1, 1),
         w1.astype(jnp.float32), b1.astype(jnp.float32).reshape(-1, 1),
         w2.astype(jnp.float32), b2.astype(jnp.float32).reshape(-1, 1),
+    )
+    statics = (
         activation, jnp.dtype(out_dtype).name, jnp.dtype(compute_dtype).name,
     )
+    from mmdti_tpu.ops.pallas_attention import _kernel_mesh_axes
+
+    mesh, dp, mp = _kernel_mesh_axes()
+    if mesh is not None:
+        # shard_map over the active mesh: batch over 'data'; the projected H
+        # dim (w2/b2 columns) over 'model' so the emitted pair bias lands
+        # already head-sharded for the attention kernels.  The replicated
+        # operands (means/std/w1/b1, plus w2/b1 on 'data') get their
+        # cotangents psum'd by shard_map's transpose (validated in
+        # tests/test_pallas_mesh.py).
+        H = w2.shape[1]
+        if u.shape[0] % dp or H % mp:
+            raise ValueError(
+                f"fused gbf cannot shard B={u.shape[0]}, H={H} over a "
+                f"({dp},{mp}) mesh; gate with gbf_fused_supported(..., batch=B)"
+            )
+        from jax.sharding import PartitionSpec as P
+
+        from mmdti_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        m_ax = MODEL_AXIS if mp > 1 else None
+        in_specs = (
+            P(DATA_AXIS, None, None),            # u
+            P(), P(), P(), P(),                  # means, std, w1, b1
+            P(None, m_ax), P(m_ax, None),        # w2 [Kh,H], b2 [H,1]
+        )
+        return jax.shard_map(
+            lambda *a: _gbf_fused(*a, *statics),
+            mesh=mesh, in_specs=in_specs,
+            out_specs=P(DATA_AXIS, None, m_ax, None),
+            check_vma=False,
+        )(*args)
+    return _gbf_fused(*args, *statics)

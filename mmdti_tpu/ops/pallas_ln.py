@@ -79,6 +79,13 @@ def ln_kernel_enabled(use_pallas: bool, shape) -> bool:
     never trace."""
     if os.environ.get("MMDTI_PALLAS_LN", "0") != "1":
         return False
+    from mmdti_tpu.parallel.mesh import get_kernel_mesh
+
+    if get_kernel_mesh() is not None:
+        # opt-in kernel with no shard_map wrapper (chip-measured neutral, so
+        # not worth mesh plumbing): under a multi-device mesh the mosaic
+        # call would have no GSPMD rule — stay on the XLA LN
+        return False
     return bool(use_pallas) and layer_norm_supported(shape)
 
 

@@ -56,6 +56,49 @@ def local_batch_to_global(mesh: Mesh, batch: dict) -> dict:
     )
 
 
+# ---- kernel mesh registry ---------------------------------------------------
+# pallas_call has no GSPMD partitioning rule: inside a batch-sharded jit'd
+# program, the mosaic custom-calls would force XLA to all-gather their
+# operands (replicating the [B,H,N,N] pair chain and destroying DP scaling)
+# or fail to lower.  The fused-kernel wrappers therefore wrap themselves in
+# jax.shard_map over the active mesh, which runs one kernel instance per
+# shard on local shapes.  The mesh is registered here by whoever owns it
+# (Trainer at fit/predict entry, MolServe at dispatch, the dryrun) and read
+# by the kernel wrappers at trace time; a size-1 mesh registers as None so
+# the single-chip path is byte-identical to the unmeshed one.
+
+_KERNEL_MESH: Optional[Mesh] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh the fused Pallas kernels should shard over
+    (None, or a mesh of total size 1, disables kernel sharding)."""
+    global _KERNEL_MESH
+    if mesh is not None and mesh.size == 1:
+        mesh = None
+    _KERNEL_MESH = mesh
+
+
+def get_kernel_mesh() -> Optional[Mesh]:
+    return _KERNEL_MESH
+
+
+class kernel_mesh_scope:
+    """Context manager for tests: register a mesh, restore the prior one."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self.prev = _KERNEL_MESH
+        set_kernel_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_kernel_mesh(self.prev)
+        return False
+
+
 def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
     """mesh_shape = (data, model); default all devices on the data axis.
 

@@ -55,6 +55,8 @@ from mmdti_tpu.utils.metrics import Metrics
 _FEATURE_KEYS = (
     "src_tokens", "src_distance", "src_edge_type", "src_coord",
     "input_ids", "attention_mask",
+    # MOF auxiliary inputs (models/mof.py MOFModel; absent on molecule data)
+    "gas_id", "gas_attr", "pressure", "temperature",
 )
 
 
@@ -76,6 +78,11 @@ def save_checkpoint(dump_dir: str, fold: int, params, fds_state=None,
         raise ValueError(
             f"unknown checkpoint_backend {backend!r}; expected 'msgpack' or 'orbax'"
         )
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host: every process runs the identical trainer code against a
+        # shared experiment dir — exactly one (process 0) writes artifacts
+        # (tests/test_distributed_dcn.py asserts this)
+        return
     os.makedirs(dump_dir, exist_ok=True)
     tree = {
         "params": jax.tree.map(np.asarray, params),
@@ -130,6 +137,8 @@ def train_state_path(dump_dir: str, fold: int) -> str:
 
 def save_train_state(dump_dir, fold, params, opt_state, fds_state, epoch, global_step,
                      best_params=None, early_stop=None, loss_state=None):
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # single-writer rule (see save_checkpoint)
     os.makedirs(dump_dir, exist_ok=True)
     blob_dict = {
         "params": jax.tree.map(np.asarray, params),
@@ -222,6 +231,8 @@ def _write_history(dump_dir: Optional[str], fold: int, history) -> None:
     crash or resume never loses earlier epochs' rows."""
     if not dump_dir:
         return
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # single-writer rule (see save_checkpoint)
     import json
 
     with open(history_path(dump_dir, fold), "w") as f:
@@ -403,6 +414,12 @@ class Trainer:
         self.mesh = params.get("mesh", None) or make_mesh(
             tuple(mesh_shape) if mesh_shape else None
         )
+        # register the mesh for the fused Pallas kernels (they self-wrap in
+        # shard_map over it — pallas_call has no GSPMD rule; see
+        # ops/pallas_attention.py).  Re-asserted at fit/predict entry because
+        # the registry is process-global and another Trainer/MolServe may
+        # have been constructed in between.
+        self._register_kernel_mesh()
         # every batch (train via drop_last, val/predict via _pad_to_batch)
         # has exactly batch_size rows, and those rows shard over the data
         # axis — a non-divisible batch_size would fail device_put outright
@@ -415,6 +432,25 @@ class Trainer:
             )
             self.batch_size = rounded
         self._compiled: Dict[str, Callable] = {}
+
+    def _register_kernel_mesh(self) -> None:
+        from mmdti_tpu.parallel.mesh import set_kernel_mesh
+
+        set_kernel_mesh(self.mesh)
+
+    def _replicate_for_host_pull(self, tree):
+        """Inside a jit'd eval fn: constrain outputs that the host will pull
+        to the replicated sharding when running multi-host.  Batch-sharded
+        outputs are not fully addressable across processes, so a plain
+        device_get would fail; the constraint inserts the all-gather inside
+        the compiled program (executed by every process in lockstep).
+        Single-process: identity — no resharding is introduced."""
+        if jax.process_count() == 1:
+            return tree
+        rep = replicated(self.mesh)
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep), tree
+        )
 
     def _memo(self, key, pins, builder):
         """Per-Trainer cache of built (jit-wrapped) step functions.
@@ -701,7 +737,8 @@ class Trainer:
             out = model.apply({"params": params}, **feats, deterministic=True)
             preds = activation_fn(out["logits"])
             loss = alpha * batch_loss(out["logits"], labels, valid_n)
-            return preds, loss, out["pooled"], out["cls_repr"]
+            ys = (preds, loss, out["pooled"], out["cls_repr"])
+            return self._replicate_for_host_pull(ys)
 
         return eval_step
 
@@ -741,10 +778,13 @@ class Trainer:
 
             _, ys = jax.lax.scan(body, None, (idx_mat, valid_ns))
             if not with_pooled:
-                return ys
+                return self._replicate_for_host_pull(ys)
             preds, losses, pooled, labels_f = ys
             pooled = pooled.reshape((-1,) + pooled.shape[2:])
             labels_f = labels_f.reshape((-1,) + labels_f.shape[2:])
+            # pooled/labels feed fds_epoch_update ON DEVICE — only the
+            # host-pulled outputs need the multi-host replication
+            preds, losses = self._replicate_for_host_pull((preds, losses))
             return preds, losses, pooled, labels_f
 
         return eval_sweep
@@ -773,6 +813,7 @@ class Trainer:
         stateful_loss=None,
         loss_state=None,
     ):
+        self._register_kernel_mesh()
         train_loader = MolDataLoader(
             train_dataset, self.batch_size, collate_fn,
             shuffle=True, drop_last=True, seed=self.seed,
@@ -1283,7 +1324,19 @@ class Trainer:
         # final predict with best weights (reload from the just-written
         # artifact — validates the checkpoint end-to-end); reuse the compiled
         # eval_step and the cached/collated validation loader instead of
-        # paying a second eval trace+compile and re-tokenization
+        # paying a second eval trace+compile and re-tokenization.
+        # Multi-host: only process 0 wrote the artifact (and a shared FS is
+        # not guaranteed), so every process evals the in-memory best_params —
+        # bit-identical to the checkpoint (save_checkpoint serializes exactly
+        # these arrays).
+        if jax.process_count() > 1:
+            y_preds, _, _ = self.predict(
+                model, best_params, valid_dataset, loss_fn, activation_fn,
+                dump_dir, fold, target_scaler, collate_fn, load_model=False,
+                skip_metrics=True, eval_step=eval_step, loader=valid_loader,
+                device_data=val_device_data,
+            )
+            return y_preds
         y_preds, _, _ = self.predict(
             model, params, valid_dataset, loss_fn, activation_fn,
             dump_dir, fold, target_scaler, collate_fn, load_model=True,
@@ -1311,6 +1364,7 @@ class Trainer:
         skip_metrics: bool = False,
         device_data=None,
     ):
+        self._register_kernel_mesh()
         if load_model:
             ckpt = load_checkpoint(dump_dir, fold)
             params = self._place_params(ckpt["params"])
@@ -1415,6 +1469,7 @@ class Trainer:
         plus — with return_atomic_reprs — per-atom encoder reprs, the centered
         3D coordinates (src_coord minus BOS/EOS rows), and the atom symbols
         decoded through the Dictionary (tasks/trainer.py:508-519)."""
+        self._register_kernel_mesh()
 
         @jax.jit
         def repr_step(p, feats):

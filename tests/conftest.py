@@ -62,6 +62,18 @@ SMALL_ARCH = dict(
 )
 
 
+@pytest.fixture(autouse=True)
+def _isolate_kernel_mesh():
+    """The fused-kernel mesh registry is process-global (set by every Trainer/
+    MolServe construction); clear it around each test so a mesh registered by
+    one test can never reroute another test's kernels through shard_map."""
+    from mmdti_tpu.parallel.mesh import set_kernel_mesh
+
+    set_kernel_mesh(None)
+    yield
+    set_kernel_mesh(None)
+
+
 @pytest.fixture(scope="session")
 def tiny_csv(tmp_path_factory):
     rng = np.random.RandomState(0)
