@@ -193,11 +193,15 @@ def coords2unimol_mof(
 class MOFReader:
     """CIF + gas -> featurized MOF sample."""
 
-    def __init__(self, dict_path: Optional[str] = None, max_atoms: int = 512):
+    def __init__(self, dict_path: Optional[str] = None, max_atoms: int = 512,
+                 seed: int = 42):
         self.gas_list = list(GAS_LIST)
         self.dictionary = Dictionary.load(dict_path)
         self.dictionary.add_symbol("[MASK]", is_special=True)
         self.max_atoms = max_atoms
+        # deterministic over-max_atoms crop (the conformer cache and resume
+        # both assume refeaturization reproduces identical features)
+        self.crop_rng = np.random.RandomState(seed)
 
     def cif_parser(self, cif_path: str, primitive: bool = False) -> Dict:
         if _HAVE_PYMATGEN:
@@ -225,7 +229,8 @@ class MOFReader:
     def read_with_gas(self, cif_path: str, gas: str) -> Dict:
         dd = self.cif_parser(cif_path)
         feat = coords2unimol_mof(
-            dd["atoms"], dd["coordinates"], self.dictionary, max_atoms=self.max_atoms
+            dd["atoms"], dd["coordinates"], self.dictionary,
+            max_atoms=self.max_atoms, crop_rng=self.crop_rng,
         )
         feat.update(self.gas_parser(gas))
         return feat

@@ -300,6 +300,10 @@ def dataset_pad_lengths(
     for ds in extra_datasets:
         all_feats.extend(ds)
     atom = max(len(f["src_tokens"]) for f in all_feats)
+    if any("smile" not in f for f in all_feats):
+        # MOF features carry no SMILES stream — there is nothing to tokenize
+        # and the collator never consults smiles_pad without a 'smile' key
+        return up(atom), 0
     # One batched tokenizer call per chunk (not one per sample), with
     # truncation on — so the pad target is what encode() will actually emit
     # (both tokenizers pad each chunk to its longest row, so the padded width

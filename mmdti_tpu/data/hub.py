@@ -85,7 +85,60 @@ class DataHub:
             return pd.read_csv(self.raw_data)[cols].values
         return fallback
 
+    def _featurize_mof(self, params: Dict[str, Any]):
+        """MOF featurization: per-row CIF crystal -> coords2unimol_mof
+        features + gas/environment inputs (chem/mof.py).
+
+        Input contract (data_type='mof'): the CSV/DataFrame carries a CIF
+        path column (default 'cif'; relative paths resolve against the CSV's
+        directory), a gas name column (default 'gas', one of
+        chem.mof.GAS_LIST), and optional 'pressure'/'temperature' columns
+        (defaults 1.0 bar / 298.0 K).  The reference parses the same inputs
+        through MOFReader (/root/reference/data/datareader.py:204-307) but
+        never trains on them; here they feed MOFModel end to end."""
+        from mmdti_tpu.chem.mof import MOFReader
+
+        df = self.data["raw_data"]
+        cif_col = params.get("cif_col", "cif")
+        gas_col = params.get("gas_col", "gas")
+        for col in (cif_col, gas_col):
+            if col not in df.columns:
+                raise ValueError(
+                    f"data_type='mof' requires a {col!r} column; got "
+                    f"{list(df.columns)}"
+                )
+        unimol_dir = params.get("unimol_dir", "") or ""
+        dict_path = params.get("dict_path", None)
+        if dict_path is None and unimol_dir:
+            cand = os.path.join(os.path.dirname(unimol_dir), "mol.dict.txt")
+            dict_path = cand if os.path.exists(cand) else None
+        reader = MOFReader(
+            dict_path=dict_path,
+            max_atoms=int(params.get("max_atoms", 512)),
+            seed=int(params.get("seed", 42)),
+        )
+        src = getattr(self, "_source_path", None) or (
+            self.raw_data if isinstance(self.raw_data, str) else None
+        )
+        base = ""
+        if src and os.path.exists(src):
+            base = os.path.dirname(os.path.abspath(src))
+        features = []
+        for _, row in df.iterrows():
+            cif = str(row[cif_col])
+            if base and not os.path.isabs(cif) and not os.path.exists(cif):
+                cif = os.path.join(base, cif)
+            feat = reader.read_with_gas(cif, str(row[gas_col]))
+            feat["pressure"] = float(row.get("pressure", 1.0))
+            feat["temperature"] = float(row.get("temperature", 298.0))
+            features.append(feat)
+        logger.info("Featurized %d MOF samples from CIF files.", len(features))
+        return features
+
     def _init_data(self, data, **params) -> None:
+        # keep the source CSV path (when given one) — relative CIF paths in
+        # MOF datasets resolve against it
+        self._source_path = data if isinstance(data, str) else None
         self.data = MolDataReader().read_data(data, self.is_train, **params)
         task = self.task
         num_classes = self.data.get("num_classes")
@@ -168,7 +221,9 @@ class DataHub:
                     cache_dir,
                 )
         if features is None:
-            if "atoms" in self.data and "coordinates" in self.data:
+            if params.get("data_type", "molecule") == "mof":
+                features = self._featurize_mof(params)
+            elif "atoms" in self.data and "coordinates" in self.data:
                 features = ConformerGen(**params).transform_raw(
                     self.data["atoms"], self.data["coordinates"]
                 )

@@ -38,6 +38,99 @@ from mmdti_tpu.models.layers import ClassificationHead, NonLinearHead, bert_norm
 from mmdti_tpu.models.unimol import UniMolEncoder
 
 
+def unimol_3d_stream(mdl: nn.Module, src_tokens, src_distance, src_edge_type,
+                     src_coord, deterministic: bool):
+    """The 3D/conformer stream shared by MMModel and MOFModel: token
+    embedding, Gaussian (or numerical) pair bias — fused-Pallas when engaged
+    — and the Uni-Mol encoder.  Called from a @nn.compact __call__, so the
+    submodules (embed_tokens / gbf / gbf_proj / encoder) attach to the CALLER
+    with those exact names: both models share the checkpoint layout of the
+    reference encoder (models/mm_model.py:439-463) and pretrained Uni-Mol
+    ingestion works unchanged.
+
+    ``mdl`` provides the config surface: unimol_cfg, dtype, use_pallas,
+    atom_vocab_size, atom_pad_idx.  Returns (enc dict, padding_mask,
+    atom_mask)."""
+    ucfg = mdl.unimol_cfg
+    if src_distance is None or src_edge_type is None:
+        # device-side pair featurization: the input pipeline shipped only
+        # tokens + coords (ops/pair_feats.py); reconstruct the [B,N,N]
+        # pair tensors here so XLA fuses them into the Gaussian consumer
+        if src_coord is None:
+            raise ValueError(
+                "model needs either (src_distance, src_edge_type) or "
+                "src_coord to derive them from"
+            )
+        from mmdti_tpu.ops.pair_feats import pair_feats_from_coords
+
+        src_distance, src_edge_type = pair_feats_from_coords(
+            src_tokens, src_coord, mdl.atom_vocab_size, mdl.atom_pad_idx
+        )
+    padding_mask = src_tokens == mdl.atom_pad_idx
+    atom_mask = (~padding_mask).astype(jnp.int32)
+
+    x = nn.Embed(
+        mdl.atom_vocab_size, ucfg.embed_dim, dtype=mdl.dtype,
+        embedding_init=bert_normal_init(), name="embed_tokens",
+    )(src_tokens)
+    N = src_tokens.shape[1]
+    fuse_gbf = False
+    if mdl.use_pallas and ucfg.kernel == "gaussian":
+        from mmdti_tpu.ops.pallas_gbf import gbf_fused_supported
+
+        fuse_gbf = gbf_fused_supported(
+            N, ucfg.gaussian_kernels, ucfg.gaussian_kernels,
+            ucfg.attention_heads, ucfg.activation_fn,
+            batch=src_tokens.shape[0],
+        )
+    if fuse_gbf:
+        # fused Pallas path: Gaussian expansion + gbf_proj MLP in VMEM;
+        # [B,N,N,K] never hits HBM.  Kernel emits i-major [B,N,H,N] so
+        # the transpose below fuses into the encoder's padding merge.
+        from mmdti_tpu.models.gaussian import FusedGbfProj
+
+        u, g_means, g_stds = GaussianLayer(
+            kernels=ucfg.gaussian_kernels,
+            edge_types=mdl.atom_vocab_size * mdl.atom_vocab_size,
+            name="gbf",
+        )(src_distance, src_edge_type, tokens=src_tokens, return_affine=True)
+        pair = FusedGbfProj(
+            out_dim=ucfg.attention_heads,
+            kernels=ucfg.gaussian_kernels,
+            activation_fn=ucfg.activation_fn,
+            dtype=mdl.dtype,
+            pair_dtype=jnp.dtype(ucfg.pair_dtype),
+            name="gbf_proj",
+        )(u, g_means, g_stds)                             # [B,N,H,N]
+        bias = jnp.transpose(pair, (0, 2, 1, 3))          # [B,H,N,N]
+    else:
+        if ucfg.kernel == "gaussian":
+            gbf_feat = GaussianLayer(
+                kernels=ucfg.gaussian_kernels,
+                edge_types=mdl.atom_vocab_size * mdl.atom_vocab_size,
+                name="gbf",
+            )(src_distance, src_edge_type, tokens=src_tokens)  # [B,N,N,K] fp32
+        else:
+            from mmdti_tpu.models.gaussian import NumericalEmbed
+
+            gbf_feat = NumericalEmbed(
+                kernels=ucfg.gaussian_kernels,
+                edge_types=mdl.atom_vocab_size * mdl.atom_vocab_size,
+                activation_fn=ucfg.activation_fn,
+                name="gbf",
+            )(src_distance, src_edge_type)
+        bias = NonLinearHead(
+            ucfg.attention_heads, ucfg.activation_fn, dtype=mdl.dtype,
+            name="gbf_proj",
+        )(gbf_feat.astype(mdl.dtype))                    # [B,N,N,H]
+        bias = jnp.transpose(bias, (0, 3, 1, 2)).astype(jnp.float32)
+
+    enc = UniMolEncoder(
+        ucfg, dtype=mdl.dtype, use_pallas=mdl.use_pallas, name="encoder"
+    )(x, bias, padding_mask, deterministic=deterministic)
+    return enc, padding_mask, atom_mask
+
+
 class MMModel(nn.Module):
     unimol_cfg: UniMolEncoderConfig
     chemberta_cfg: ChemBertaConfig
@@ -73,82 +166,12 @@ class MMModel(nn.Module):
             # could move behind src_coord; fail here by name instead of
             # opaquely inside the ChemBERTa trace
             raise ValueError("MMModel requires input_ids and attention_mask")
-        if src_distance is None or src_edge_type is None:
-            # device-side pair featurization: the input pipeline shipped only
-            # tokens + coords (ops/pair_feats.py); reconstruct the [B,N,N]
-            # pair tensors here so XLA fuses them into the Gaussian consumer
-            if src_coord is None:
-                raise ValueError(
-                    "MMModel needs either (src_distance, src_edge_type) or "
-                    "src_coord to derive them from"
-                )
-            from mmdti_tpu.ops.pair_feats import pair_feats_from_coords
-
-            src_distance, src_edge_type = pair_feats_from_coords(
-                src_tokens, src_coord, self.atom_vocab_size, self.atom_pad_idx
-            )
-        padding_mask = src_tokens == self.atom_pad_idx
-        atom_mask = (~padding_mask).astype(jnp.int32)
 
         # --- 3D stream -------------------------------------------------------
-        x = nn.Embed(
-            self.atom_vocab_size, ucfg.embed_dim, dtype=self.dtype,
-            embedding_init=bert_normal_init(), name="embed_tokens",
-        )(src_tokens)
-        N = src_tokens.shape[1]
-        fuse_gbf = False
-        if self.use_pallas and ucfg.kernel == "gaussian":
-            from mmdti_tpu.ops.pallas_gbf import gbf_fused_supported
-
-            fuse_gbf = gbf_fused_supported(
-                N, ucfg.gaussian_kernels, ucfg.gaussian_kernels,
-                ucfg.attention_heads, ucfg.activation_fn,
-            )
-        if fuse_gbf:
-            # fused Pallas path: Gaussian expansion + gbf_proj MLP in VMEM;
-            # [B,N,N,K] never hits HBM.  Kernel emits i-major [B,N,H,N] so
-            # the transpose below fuses into the encoder's padding merge.
-            from mmdti_tpu.models.gaussian import FusedGbfProj
-
-            u, g_means, g_stds = GaussianLayer(
-                kernels=ucfg.gaussian_kernels,
-                edge_types=self.atom_vocab_size * self.atom_vocab_size,
-                name="gbf",
-            )(src_distance, src_edge_type, tokens=src_tokens, return_affine=True)
-            pair = FusedGbfProj(
-                out_dim=ucfg.attention_heads,
-                kernels=ucfg.gaussian_kernels,
-                activation_fn=ucfg.activation_fn,
-                dtype=self.dtype,
-                pair_dtype=jnp.dtype(ucfg.pair_dtype),
-                name="gbf_proj",
-            )(u, g_means, g_stds)                             # [B,N,H,N]
-            bias = jnp.transpose(pair, (0, 2, 1, 3))          # [B,H,N,N]
-        else:
-            if ucfg.kernel == "gaussian":
-                gbf_feat = GaussianLayer(
-                    kernels=ucfg.gaussian_kernels,
-                    edge_types=self.atom_vocab_size * self.atom_vocab_size,
-                    name="gbf",
-                )(src_distance, src_edge_type, tokens=src_tokens)  # [B,N,N,K] fp32
-            else:
-                from mmdti_tpu.models.gaussian import NumericalEmbed
-
-                gbf_feat = NumericalEmbed(
-                    kernels=ucfg.gaussian_kernels,
-                    edge_types=self.atom_vocab_size * self.atom_vocab_size,
-                    activation_fn=ucfg.activation_fn,
-                    name="gbf",
-                )(src_distance, src_edge_type)
-            bias = NonLinearHead(
-                ucfg.attention_heads, ucfg.activation_fn, dtype=self.dtype,
-                name="gbf_proj",
-            )(gbf_feat.astype(self.dtype))                    # [B,N,N,H]
-            bias = jnp.transpose(bias, (0, 3, 1, 2)).astype(jnp.float32)
-
-        enc = UniMolEncoder(
-            ucfg, dtype=self.dtype, use_pallas=self.use_pallas, name="encoder"
-        )(x, bias, padding_mask, deterministic=deterministic)
+        enc, padding_mask, atom_mask = unimol_3d_stream(
+            self, src_tokens, src_distance, src_edge_type, src_coord,
+            deterministic,
+        )
         encoder_rep = enc["rep"]                              # [B,N,E]
 
         # --- SMILES stream ---------------------------------------------------

@@ -76,8 +76,15 @@ class NNModel:
         self.features_train = data_train["unimol_input"]
         self.features_test = data_test["unimol_input"]
         self.loss_key = params.get("loss_key", None)
+        self.data_type = params.get("data_type", "molecule")
         self.using_ct = params.get("using_ct", False)
         self.using_infonce = params.get("using_infonce", False)
+        if self.data_type == "mof" and self.using_infonce:
+            raise ValueError(
+                "using_infonce=True is not applicable to data_type='mof': "
+                "MOF samples have no SMILES stream to align (MOFModel, "
+                "models/mof.py)"
+            )
         self.use_weight = params.get("use_weight", False)
         self.use_fds = params.get("fds", False)
         self.fds_num = params.get("fds_num", 30)
@@ -210,10 +217,11 @@ class NNModel:
         _probe_cfg = UniMolEncoderConfig(
             **{k: v for k, v in unimol_overrides.items() if k != "remat"}
         )
-        pallas_engaged = train_pallas and pallas_attention_supported(
-            _probe_cfg.attention_heads, _probe_cfg.head_dim, self.atom_pad
-        )
         _bs = int(getattr(self.trainer, "batch_size", 32))
+        pallas_engaged = train_pallas and pallas_attention_supported(
+            _probe_cfg.attention_heads, _probe_cfg.head_dim, self.atom_pad,
+            batch=_bs,
+        )
         if pallas_engaged:
             remat_threshold = pallas_remat_threshold(
                 _bs, _probe_cfg.attention_heads, _probe_cfg.encoder_layers
@@ -243,6 +251,21 @@ class NNModel:
             chemberta_overrides = {**hf_chemberta_overrides(cb_dir), **chemberta_overrides}
 
         def _build(pallas_flag):
+            if self.data_type == "mof":
+                from mmdti_tpu.models.mof import build_mof_model
+
+                return build_mof_model(
+                    output_dim=self.output_dim,
+                    atom_vocab_size=len(self.dictionary),
+                    atom_pad_idx=self.dictionary.pad(),
+                    task=self.task,
+                    use_fds=self.use_fds,
+                    fds_num=self.fds_num,
+                    compute_dtype=params.get("compute_dtype", "bfloat16"),
+                    use_pallas=pallas_flag,
+                    unimol_overrides=unimol_overrides or None,
+                    mof_overrides=dict(params["mof_overrides"]) if params.get("mof_overrides") else None,
+                )
             return build_model(
                 output_dim=self.output_dim,
                 atom_vocab_size=len(self.dictionary),
@@ -306,7 +329,8 @@ class NNModel:
             k: jnp.asarray(v)
             for k, v in batch.items()
             if k in ("src_tokens", "src_distance", "src_edge_type", "src_coord",
-                     "input_ids", "attention_mask")
+                     "input_ids", "attention_mask",
+                     "gas_id", "gas_attr", "pressure", "temperature")
         }
 
     def _init_params(self, params):
@@ -318,7 +342,9 @@ class NNModel:
         tree = load_pretrained(
             tree,
             unimol_dir=params.get("unimol_dir") or None,
-            chemberta_dir=params.get("chemberta_dir") or None,
+            # MOFModel has no ChemBERTa stream to ingest into
+            chemberta_dir=(params.get("chemberta_dir") or None)
+            if self.data_type != "mof" else None,
         )
         return tree
 
