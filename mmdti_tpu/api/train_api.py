@@ -21,6 +21,15 @@ from mmdti_tpu.train.trainer import Trainer
 from mmdti_tpu.utils.logger import logger
 
 
+def _is_writer_process() -> bool:
+    """Multi-host single-writer rule: every process runs the identical fit
+    against a shared experiment dir; only process 0 writes artifacts
+    (mirrors the trainer's checkpoint gating)."""
+    import jax
+
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
 class MolTrain:
     def __init__(
         self,
@@ -225,7 +234,8 @@ class MolTrain:
                 val_pred = np.asarray(self.model.cv["pred"], dtype=float)
                 threshold = self.trainer.metrics.search_threshold(val_true, val_pred)
                 logger.info("Searched classification thresholds: %s", threshold)
-            joblib.dump(threshold, os.path.join(self.save_path, "threshold.dat"))
+            if _is_writer_process():
+                joblib.dump(threshold, os.path.join(self.save_path, "threshold.dat"))
         self.cv_pred = y_pred
         return self
 
@@ -243,7 +253,7 @@ class MolTrain:
         # model_1.ckpt from an earlier CV run in a reused dir is never
         # silently ensembled into a later single-fold experiment
         self.config["model_folds"] = int(n_folds)
-        if self.save_path is not None:
+        if self.save_path is not None and _is_writer_process():
             if not os.path.exists(self.save_path):
                 logger.info("Create output directory: %s", self.save_path)
                 os.makedirs(self.save_path)

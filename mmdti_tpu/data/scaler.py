@@ -102,6 +102,12 @@ class TargetScaler:
                 sc.fit(valid)
                 self.scaler.append(sc)
         if dump_dir:
+            # multi-host single-writer rule: every process fits the identical
+            # scaler (same raw CSV); only process 0 persists the artifact
+            import jax
+
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                return
             os.makedirs(dump_dir, exist_ok=True)
             joblib.dump(self.scaler, os.path.join(dump_dir, ARTIFACT_NAME))
 

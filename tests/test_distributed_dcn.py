@@ -88,6 +88,137 @@ print("FEED_GATHER_MEAN", float(rep3), flush=True)
 """
 
 
+# ---------------------------------------------------------------------------
+# A REAL 2-process fit (VERDICT r3 item 3): MolTrain.fit runs on a 2-process
+# jax.distributed cluster (4 virtual CPU devices each -> one global 8-device
+# data mesh), with InfoNCE + CT on so the global-batch contrastive semantics
+# execute across processes.  Every process feeds the identical global batch
+# (shard_batch device_puts only the locally-addressable rows); predictions
+# must match a single-process 8-device run of the same config, and ONLY
+# process 0 writes checkpoint artifacts (single-writer rule).
+# ---------------------------------------------------------------------------
+
+FIT_WORKER = r"""
+import os, sys, json
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+pid = int(sys.argv[1])
+if {nproc} > 1:
+    from mmdti_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed(
+        coordinator_address="localhost:{port}", num_processes={nproc},
+        process_id=pid,
+    )
+assert len(jax.devices()) == 8, len(jax.devices())
+
+# single-writer rule, asserted directly: save_checkpoint into a per-process
+# probe dir writes on process 0 and is a no-op elsewhere
+from mmdti_tpu.train.trainer import save_checkpoint
+probe = os.path.join({tmp!r}, "writer_probe_%d" % pid)
+save_checkpoint(probe, 0, {{"w": np.zeros(2, np.float32)}})
+print("CKPT_WRITTEN", os.path.exists(os.path.join(probe, "model_0.ckpt")), flush=True)
+
+from mmdti_tpu import MolTrain
+
+m = MolTrain(
+    task="regression", epochs=2, batch_size=8, metrics="mse",
+    smiles_col="smiles", target_cols=["measured"],
+    save_path={exp!r},
+    seed=11, use_scaler=False, target_normalize="none",
+    using_infonce=True, using_ct=True,
+    compute_dtype="float32", use_pallas=False,
+    unimol_overrides={{"encoder_layers": 2, "embed_dim": 32,
+                       "ffn_embed_dim": 64, "attention_heads": 4,
+                       "dropout": 0.0, "emb_dropout": 0.0,
+                       "attention_dropout": 0.0, "pooler_dropout": 0.0}},
+    chemberta_overrides={{"hidden_size": 32, "num_hidden_layers": 1,
+                          "num_attention_heads": 2, "intermediate_size": 64,
+                          "hidden_dropout_prob": 0.0,
+                          "attention_probs_dropout_prob": 0.0}},
+)
+m.fit({train_csv!r}, {val_csv!r})
+pred = np.asarray(m.cv_pred, dtype=float).reshape(-1)
+print("VAL_PRED", json.dumps([round(float(x), 6) for x in pred]), flush=True)
+"""
+
+
+def _run_fit_workers(tmp_path, train_csv, val_csv, nproc, devices_per_proc):
+    port = _free_port() if nproc > 1 else 0
+    script = tmp_path / f"fit_worker_{nproc}.py"
+    exp = str(tmp_path / ("exp_shared" if nproc > 1 else "exp_ref"))
+    script.write_text(FIT_WORKER.format(
+        repo=REPO, port=port, nproc=nproc, tmp=str(tmp_path),
+        train_csv=train_csv, val_csv=val_csv, exp=exp,
+    ))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MMDTI_DISABLE_FILE_LOG"] = "1"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={devices_per_proc}"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=560)
+        assert p.returncode == 0, f"fit worker failed:\n{out[-3000:]}\n{err[-6000:]}"
+        outs.append(out)
+    return outs
+
+
+def _parse(out, tag):
+    line = [l for l in out.splitlines() if l.startswith(tag)][0]
+    return line[len(tag) + 1:]
+
+
+def test_two_process_dcn_fit_matches_single_process(tmp_path):
+    import json
+
+    import pandas as pd
+
+    from tests.conftest import SMILES_20
+
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "smiles": SMILES_20,
+        "measured": rng.randn(len(SMILES_20)) * 2 + 1,
+    })
+    train_csv, val_csv = str(tmp_path / "train.csv"), str(tmp_path / "val.csv")
+    df.iloc[:16].to_csv(train_csv, index=False)
+    df.iloc[16:].to_csv(val_csv, index=False)
+
+    # reference: same config, single process, 8 local virtual devices
+    ref_out = _run_fit_workers(tmp_path, train_csv, val_csv, 1, 8)[0]
+    ref_pred = np.asarray(json.loads(_parse(ref_out, "VAL_PRED")))
+    assert np.isfinite(ref_pred).all()
+
+    # 2-process cluster, 4 virtual devices each (same global 8-device mesh)
+    outs = _run_fit_workers(tmp_path, train_csv, val_csv, 2, 4)
+    preds = [np.asarray(json.loads(_parse(o, "VAL_PRED"))) for o in outs]
+    # both processes computed the same global result
+    np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-6)
+    # ... and it matches the single-process run (loss/forward parity across
+    # the process boundary; tolerance covers collective reduction reordering)
+    np.testing.assert_allclose(preds[0], ref_pred, rtol=1e-3, atol=1e-4)
+
+    # single-writer: process 0 wrote its probe checkpoint, process 1 did not
+    wrote = {i: _parse(o, "CKPT_WRITTEN") == "True" for i, o in enumerate(outs)}
+    assert wrote[0] and not wrote[1], wrote
+    # the shared experiment dir holds exactly the one checkpoint + artifacts
+    exp = tmp_path / "exp_shared"
+    assert (exp / "model_0.ckpt").exists()
+    assert (exp / "config.yaml").exists()
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
