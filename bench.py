@@ -70,6 +70,40 @@ def _analytic_hbm_bytes(model, n_params: int) -> float:
     return float(chain + gbf + par)
 
 
+def _regression_vs_last(step_ms: float, repo_dir: str):
+    """Compare this run's step time against the most recent BENCH_r*.json.
+
+    Returns (pct_slower, prior_step_ms, prior_file) — pct_slower is
+    (step_ms/prior - 1) * 100, positive = slower — or (None, None, None)
+    when no prior record with a parsed step_ms exists.  A >10% positive
+    value is surfaced loudly in the JSON line so a kernel change cannot
+    silently eat the round-2/3 gains between rounds (VERDICT r3 item 7);
+    the driver-recorded files are the ground truth being guarded."""
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            prior = float(parsed["step_ms"])
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, prior, os.path.basename(path))
+    if best is None:
+        return None, None, None
+    _, prior, fname = best
+    if prior <= 0:
+        return None, None, None
+    return round((step_ms / prior - 1.0) * 100.0, 1), prior, fname
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -157,6 +191,20 @@ def main():
         c = infer_chain(c, params, feats)
     float(c)
     infer_s = (time.perf_counter() - t0) / STEPS
+
+    reg_pct, prior_ms, prior_file = _regression_vs_last(
+        step_s * 1e3, os.path.dirname(os.path.abspath(__file__))
+    )
+    reg_fields = {}
+    if reg_pct is not None:
+        reg_fields["regression_vs_last"] = reg_pct
+        reg_fields["last_step_ms"] = prior_ms
+        reg_fields["last_record"] = prior_file
+        if reg_pct > 10.0:
+            reg_fields["PERF_REGRESSION_WARNING"] = (
+                f"step {step_s * 1e3:.2f}ms is {reg_pct:.1f}% slower than "
+                f"{prior_file} ({prior_ms:.2f}ms)"
+            )
     print(
         json.dumps(
             {
@@ -165,6 +213,7 @@ def main():
                 "unit": "mols/sec/chip",
                 "vs_baseline": round(mols_per_sec / ESTIMATED_REFERENCE_MOLS_PER_SEC, 3),
                 "step_ms": round(step_s * 1e3, 2),
+                **reg_fields,
                 "inference_fwd_ms": round(infer_s * 1e3, 2),
                 "inference_mols_per_sec": round(BATCH / infer_s, 1),
                 "hlo_bytes_per_step": int(hlo_bytes),
