@@ -21,6 +21,66 @@ static void refine_inner(int n, float* coords,
                          int nn, const int* nb_idx,
                          int iters);
 
+// Shared term builder: adjacency + 1-3 angle-distance terms, same math as
+// mmdti_tpu/chem/conformer.py::_bond_angle_terms.  mask bit0 = bonded,
+// bit1 = has a 1-3 term (the 1-3 dedup intentionally does NOT exclude
+// bonded pairs — a 3-ring closure bond coexists with its angle term).
+// Adjacency is built in bond-insertion order, which fixes WHICH center
+// emits a deduplicated 1-3 term.
+static void build_angle_terms(int n, int nb, const int* bonds,
+                              const double* orders, const double* bond_lens,
+                              const int* flags,
+                              std::vector<unsigned char>* mask_out,
+                              std::vector<int>* aidx,
+                              std::vector<float>* alen) {
+  std::vector<std::vector<std::pair<int, int>>> adj(n);  // (neighbor, bond)
+  mask_out->assign((size_t)n * n, 0);
+  std::vector<unsigned char>& mask = *mask_out;
+  for (int b = 0; b < nb; ++b) {
+    int i = bonds[2 * b], j = bonds[2 * b + 1];
+    adj[i].push_back({j, b});
+    adj[j].push_back({i, b});
+    mask[(size_t)i * n + j] |= 1;
+    mask[(size_t)j * n + i] |= 1;
+  }
+
+  const double pi = 3.14159265358979323846;
+  for (int j = 0; j < n; ++j) {
+    int deg = (int)adj[j].size();
+    if (deg < 2) continue;
+    double maxo = 0.0;
+    bool all_ge2 = true;
+    for (auto& e : adj[j]) {
+      double o = orders[e.second];
+      if (o > maxo) maxo = o;
+      if (o < 2.0) all_ge2 = false;
+    }
+    double theta;
+    if (maxo >= 3.0 || (deg == 2 && maxo >= 2.0 && all_ge2))
+      theta = pi;  // sp: linear
+    else if ((flags[j] & 1) || maxo >= 2.0 || (flags[j] & 2))
+      theta = 120.0 * pi / 180.0;
+    else
+      theta = 109.47 * pi / 180.0;
+    double cos_t = std::cos(theta);
+    for (int x = 0; x < deg; ++x) {
+      for (int y = x + 1; y < deg; ++y) {
+        int i = adj[j][x].first, k = adj[j][y].first;
+        if (mask[(size_t)i * n + k] & 2) continue;
+        mask[(size_t)i * n + k] |= 2;
+        mask[(size_t)k * n + i] |= 2;
+        double d1 = bond_lens[adj[j][x].second];
+        double d2 = bond_lens[adj[j][y].second];
+        double v = d1 * d1 + d2 * d2 - 2.0 * d1 * d2 * cos_t;
+        if (v < 1e-6) v = 1e-6;
+        aidx->push_back(i);
+        aidx->push_back(k);
+        alen->push_back((float)std::sqrt(v));
+      }
+    }
+  }
+}
+
 extern "C" {
 
 // Pair-index arrays come across a ctypes boundary: an out-of-range atom
@@ -49,11 +109,37 @@ int mmchem_refine(int n, float* coords,
   return 0;
 }
 
-// ABI version of the embed entry — bump when mmchem_embed's signature
-// changes; the Python binding refuses the embed path on a mismatch so a
+// ABI version of the embed/terms entries — bump when their signatures
+// change; the Python binding refuses those paths on a mismatch so a
 // stale MMCHEM_LIB build degrades to the refine/numpy ladder instead of
-// miscalling.
-int mmchem_abi_version() { return 2; }
+// miscalling.  v3: adds mmchem_terms (angle-term building without refine,
+// feeding the accelerator-side refinement — ops/device_refine.py).
+int mmchem_abi_version() { return 3; }
+
+// Angle-term building only (same math as the mmchem_embed path below,
+// shared via build_angle_terms): the device-refine provider builds bond
+// terms directly from the bond list and needs no nonbonded enumeration
+// (the accelerator masks nonbonded pairs from the term indices), so this
+// is the only per-molecule O(deg^2) loop left on the host.  Writes at most
+// cap_na terms into out_aidx [cap_na*2] / out_alen [cap_na]; returns the
+// term count, or -1 on error / overflow (caller falls back to Python).
+int mmchem_terms(int n, int nb, const int* bonds, const double* orders,
+                 const double* bond_lens, const int* flags,
+                 int cap_na, int* out_aidx, float* out_alen) {
+  if (n <= 0 || !flags || cap_na < 0) return -1;
+  if (nb > 0 && (!bonds || !orders || !bond_lens)) return -1;
+  if (!pairs_in_range(n, nb, bonds)) return -1;
+  std::vector<unsigned char> mask;
+  std::vector<int> aidx;
+  std::vector<float> alen;
+  build_angle_terms(n, nb, bonds, orders, bond_lens, flags, &mask, &aidx, &alen);
+  int na = (int)alen.size();
+  if (na > cap_na) return -1;
+  if (na > 0 && (!out_aidx || !out_alen)) return -1;
+  std::memcpy(out_aidx, aidx.data(), sizeof(int) * 2 * na);
+  std::memcpy(out_alen, alen.data(), sizeof(float) * na);
+  return na;
+}
 
 // Combined entry: build the (bond, 1-3 angle-distance, nonbonded) term arrays
 // from the molecular graph natively, then refine — the same term math as
@@ -81,58 +167,11 @@ int mmchem_embed(int n, float* coords,
   // term array).
   std::vector<float> blen(nb);
   for (int b = 0; b < nb; ++b) blen[b] = (float)bond_lens[b];
-  const double* blend = bond_lens;
 
-  // Adjacency in bond-insertion order; pair mask bit0 = bonded, bit1 = has a
-  // 1-3 term already (the 1-3 dedup intentionally does NOT exclude bonded
-  // pairs — a 3-ring closure bond coexists with its angle term).
-  std::vector<std::vector<std::pair<int, int>>> adj(n);  // (neighbor, bond)
-  std::vector<unsigned char> mask((size_t)n * n, 0);
-  for (int b = 0; b < nb; ++b) {
-    int i = bonds[2 * b], j = bonds[2 * b + 1];
-    adj[i].push_back({j, b});
-    adj[j].push_back({i, b});
-    mask[(size_t)i * n + j] |= 1;
-    mask[(size_t)j * n + i] |= 1;
-  }
-
-  const double pi = 3.14159265358979323846;
+  std::vector<unsigned char> mask;
   std::vector<int> aidx;
   std::vector<float> alen;
-  for (int j = 0; j < n; ++j) {
-    int deg = (int)adj[j].size();
-    if (deg < 2) continue;
-    double maxo = 0.0;
-    bool all_ge2 = true;
-    for (auto& e : adj[j]) {
-      double o = orders[e.second];
-      if (o > maxo) maxo = o;
-      if (o < 2.0) all_ge2 = false;
-    }
-    double theta;
-    if (maxo >= 3.0 || (deg == 2 && maxo >= 2.0 && all_ge2))
-      theta = pi;  // sp: linear
-    else if ((flags[j] & 1) || maxo >= 2.0 || (flags[j] & 2))
-      theta = 120.0 * pi / 180.0;
-    else
-      theta = 109.47 * pi / 180.0;
-    double cos_t = std::cos(theta);
-    for (int x = 0; x < deg; ++x) {
-      for (int y = x + 1; y < deg; ++y) {
-        int i = adj[j][x].first, k = adj[j][y].first;
-        if (mask[(size_t)i * n + k] & 2) continue;
-        mask[(size_t)i * n + k] |= 2;
-        mask[(size_t)k * n + i] |= 2;
-        double d1 = blend[adj[j][x].second];
-        double d2 = blend[adj[j][y].second];
-        double v = d1 * d1 + d2 * d2 - 2.0 * d1 * d2 * cos_t;
-        if (v < 1e-6) v = 1e-6;
-        aidx.push_back(i);
-        aidx.push_back(k);
-        alen.push_back((float)std::sqrt(v));
-      }
-    }
-  }
+  build_angle_terms(n, nb, bonds, orders, bond_lens, flags, &mask, &aidx, &alen);
 
   // Nonbonded: every pair with neither a bond nor a 1-3 term (includes
   // cross-fragment pairs).

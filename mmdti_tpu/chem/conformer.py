@@ -59,8 +59,14 @@ def _ideal_bond_length(s1: str, s2: str, order: float) -> float:
     return r * _ORDER_SCALE.get(order, 1.0)
 
 
-def _build_terms(mol: Molecule):
-    """Precompute (bond, angle-13, nonbonded) index/target arrays."""
+def _bond_angle_terms(mol: Molecule):
+    """Bond + 1-3 angle-distance spring terms (shared by the host refiners,
+    which add the O(n^2) nonbonded enumeration via _build_terms, and the
+    device refiner, which masks nonbonded pairs on the accelerator and
+    needs no pair list — ops/device_refine.py).
+
+    Returns (bidx [NB,2] int32, blen [NB] f32, aidx [NA,2] int32,
+    alen [NA] f32, seen13 set of sorted pairs)."""
     n = mol.num_atoms()
     syms = [a.symbol for a in mol.atoms]
 
@@ -101,8 +107,22 @@ def _build_terms(mol: Molecule):
                 aidx.append((i, k))
                 alen.append(d13)
 
+    return (
+        np.array(bidx, dtype=np.int32).reshape(-1, 2),
+        np.array(blen, dtype=np.float32),
+        np.array(aidx, dtype=np.int32).reshape(-1, 2),
+        np.array(alen, dtype=np.float32),
+        seen13,
+    )
+
+
+def _build_terms(mol: Molecule):
+    """Precompute (bond, angle-13, nonbonded) index/target arrays."""
+    n = mol.num_atoms()
+    bidx, blen, aidx, alen, seen13 = _bond_angle_terms(mol)
+
     # nonbonded: all pairs at graph distance >= 3 (plus cross-fragment pairs)
-    bonded = {tuple(sorted(p)) for p in bidx} | set(seen13)
+    bonded = {tuple(sorted(p)) for p in bidx.tolist()} | set(seen13)
     nidx = []
     for i in range(n):
         for k in range(i + 1, n):
@@ -110,10 +130,7 @@ def _build_terms(mol: Molecule):
                 nidx.append((i, k))
 
     return (
-        np.array(bidx, dtype=np.int32).reshape(-1, 2),
-        np.array(blen, dtype=np.float32),
-        np.array(aidx, dtype=np.int32).reshape(-1, 2),
-        np.array(alen, dtype=np.float32),
+        bidx, blen, aidx, alen,
         np.array(nidx, dtype=np.int32).reshape(-1, 2),
     )
 
@@ -320,6 +337,25 @@ def coords2unimol(
     }
 
 
+def resolve_coord_provider(provider: str = "auto") -> str:
+    """Where the force-field refinement runs ('host' or 'device').
+
+    'auto' -> 'device' only when RDKit is absent (RDKit keeps reference
+    byte-compatibility) AND the jax backend is a TPU.  Shared by
+    ConformerGen and the conformer-cache fingerprint (data/hub.py) so a
+    cache built with one provider can never serve the other."""
+    if provider in ("host", "device"):
+        return provider
+    if _HAVE_RDKIT:
+        return "host"
+    try:
+        import jax
+
+        return "device" if jax.default_backend() == "tpu" else "host"
+    except Exception:
+        return "host"
+
+
 class ConformerGen:
     """SMILES list -> list of featurized molecule dicts.
 
@@ -337,6 +373,22 @@ class ConformerGen:
         self.mode = params.get("mode", "fast")
         self.remove_hs = params.get("remove_hs", False)
         self.num_workers = params.get("num_workers", 0) or 0
+        # 'auto' | 'host' | 'device': where the force-field refinement runs.
+        # 'device' batches whole SMILES lists through one accelerator
+        # dispatch (chem/device_conformer.py) — the host refine is the
+        # measured sustained-serving bottleneck.  'auto' resolves to device
+        # only when (a) RDKit is absent (RDKit keeps reference
+        # byte-compatibility) and (b) the jax backend is a TPU; resolution
+        # is lazy so data-only tooling never touches the accelerator.
+        self.coord_provider = params.get("coord_provider", "auto")
+        if self.coord_provider not in ("auto", "host", "device"):
+            raise ValueError(
+                f"coord_provider must be auto|host|device, got "
+                f"{self.coord_provider!r}"
+            )
+        self._resolved_provider: Optional[str] = (
+            None if self.coord_provider == "auto" else self.coord_provider
+        )
         # False: skip the O(N^2) host distance/edge arrays (consumer
         # reconstructs them on device, ops/pair_feats.py)
         self.pair_feats = bool(params.get("pair_feats", True))
@@ -352,7 +404,17 @@ class ConformerGen:
             self.method, self.seed, self.max_atoms, self.remove_hs, _HAVE_RDKIT,
         )
 
+    def resolved_provider(self) -> str:
+        """Resolve coord_provider='auto' (lazily, once)."""
+        if self._resolved_provider is None:
+            self._resolved_provider = resolve_coord_provider(self.coord_provider)
+        return self._resolved_provider
+
     def single_process(self, smiles: str) -> Dict[str, np.ndarray]:
+        if self.resolved_provider() == "device":
+            # route through the batch path so a molecule's coordinates are
+            # identical whether it arrives alone or in a list
+            return self._transform_device([smiles])[0]
         atoms, coordinates = smi2coords(
             smiles, seed=self.seed, mode=self.mode, remove_hs=self.remove_hs
         )
@@ -360,6 +422,21 @@ class ConformerGen:
             atoms, coordinates, self.dictionary, self.max_atoms, remove_hs=self.remove_hs,
             crop_seed=self.seed, pair_feats=self.pair_feats,
         )
+
+    def _transform_device(self, smiles_list: Sequence[str]):
+        from mmdti_tpu.chem.device_conformer import device_smi2coords_batch
+
+        pairs = device_smi2coords_batch(
+            smiles_list, seed=self.seed, remove_hs=self.remove_hs
+        )
+        return [
+            coords2unimol(
+                atoms, coords, self.dictionary, self.max_atoms,
+                remove_hs=self.remove_hs, crop_seed=self.seed,
+                pair_feats=self.pair_feats,
+            )
+            for atoms, coords in pairs
+        ]
 
     def transform_raw(self, atoms_list, coordinates_list):
         return [
@@ -370,11 +447,18 @@ class ConformerGen:
 
     def transform(self, smiles_list: Sequence[str]):
         logger.info("Start generating conformers for %d molecules...", len(smiles_list))
+        if self.resolved_provider() == "device":
+            inputs = self._transform_device(smiles_list)
+            return self._log_failures(inputs)
         if self.num_workers and self.num_workers > 1:
             with _fut.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 inputs = list(pool.map(self.single_process, smiles_list))
         else:
             inputs = [self.single_process(s) for s in smiles_list]
+        return self._log_failures(inputs)
+
+    @staticmethod
+    def _log_failures(inputs):
         if inputs:
             failed = float(np.mean([(item["src_coord"] == 0.0).all() for item in inputs]))
             failed_3d = float(np.mean([(item["src_coord"][:, 2] == 0.0).all() for item in inputs]))

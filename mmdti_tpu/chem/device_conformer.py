@@ -1,0 +1,178 @@
+"""Accelerator-backed conformer provider (host side).
+
+Parses SMILES and builds the spring-term arrays on the host (O(n + bonds)
+Python/numpy — cheap), then refines whole batches of molecules on the
+device in one dispatch (ops/device_refine.py).  This replaces the host
+force-field refinement — the measured sustained-serving bottleneck on a
+small host (docs/PERF.md) — with accelerator work that runs at the same
+time as nothing (the device was ~97% idle under sustained featurization).
+
+Determinism contract: a molecule's refined coordinates depend only on its
+own SMILES and the configured seed, up to float accumulation order — all
+padded shapes are functions of the molecule's OWN atom bucket (bonds cap
+2*Np, angle terms cap 4*Np), molecules are grouped by bucket, and the
+refinement is vmapped per molecule, so co-batched molecules can never
+change the math a molecule sees.  The batch COUNT still changes XLA's
+batched-matmul codegen, which accumulates ~1e-6 A of ULP drift over the
+300 iterations (asserted bounded in tests) — physically meaningless;
+repeat calls with the same batch are bit-identical, and a server's
+featurization cache pins each SMILES to its first-computed coordinates.  Molecules whose term counts
+exceed the caps (degree-pathological graphs) fall back to the host
+refiner, preserving the ladder semantics.
+
+Failure semantics mirror builtin_smi2coords: SmilesError propagates (the
+caller's strict/validity machinery owns it); any other per-molecule
+failure degrades to the zeros fallback, counted by the caller's
+failure-rate logging.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmdti_tpu.chem.smiles import SmilesError, parse_smiles
+from mmdti_tpu.utils.logger import logger
+
+# caps as multiples of the atom bucket (see determinism contract above)
+_NB_FACTOR = 2
+_NA_FACTOR = 4
+
+
+def _atom_bucket(n: int) -> int:
+    """Atom-count buckets: powers of two from 16 up to 128, then 64-steps."""
+    b = 16
+    while b < n and b < 128:
+        b *= 2
+    if b >= n:
+        return b
+    return -(-n // 64) * 64
+
+
+def _prepare(smi: str, seed: int):
+    """Parse + terms + deterministic initial coordinates (host, cheap).
+
+    Term building prefers the native C++ entry (mmchem_terms, bit-exact with
+    the Python builder) — the pure-Python angle loop was the largest
+    remaining host cost once refinement moved on-device (profiled ~3.7 of
+    ~7.4 ms/mol on 51-heavy-atom molecules)."""
+    mol = parse_smiles(smi).add_hydrogens()
+    n = mol.num_atoms()
+    atoms = [a.symbol for a in mol.atoms]
+    rng = np.random.RandomState(seed if seed >= 0 else None)
+    scale = max(1.5, 0.8 * n ** (1.0 / 3.0) * 2.0)
+    coords0 = rng.randn(n, 3).astype(np.float32) * scale
+    from mmdti_tpu.chem import native
+
+    terms = native.bond_angle_terms(mol) if native.terms_available() else None
+    if terms is None:
+        from mmdti_tpu.chem.conformer import _bond_angle_terms
+
+        bidx, blen, aidx, alen, _ = _bond_angle_terms(mol)
+    else:
+        bidx, blen, aidx, alen = terms
+    return atoms, coords0, bidx, blen, aidx, alen
+
+
+class DeviceConformerBatcher:
+    """Groups prepared molecules by atom bucket and refines each group in
+    one device dispatch."""
+
+    def __init__(self, iters: int = 300):
+        self.iters = int(iters)
+
+    def refine_groups(
+        self, prepared: Dict[int, List[Tuple[int, tuple]]]
+    ) -> Dict[int, np.ndarray]:
+        """prepared: bucket -> [(original_index, (atoms, coords0, terms...))]
+        Returns original_index -> refined [n, 3] float32 coords."""
+        import jax
+
+        from mmdti_tpu.ops.device_refine import refine_conformers
+
+        out: Dict[int, np.ndarray] = {}
+        for bucket, items in sorted(prepared.items()):
+            m = len(items)
+            nb_cap = bucket * _NB_FACTOR
+            na_cap = bucket * _NA_FACTOR
+            coords0 = np.zeros((m, bucket, 3), np.float32)
+            mask = np.zeros((m, bucket), np.float32)
+            b_idx = np.zeros((m, nb_cap, 2), np.int32)
+            b_len = np.zeros((m, nb_cap), np.float32)
+            a_idx = np.zeros((m, na_cap, 2), np.int32)
+            a_len = np.zeros((m, na_cap), np.float32)
+            for r, (_, (atoms, c0, bi, bl, ai, al)) in enumerate(items):
+                n = len(atoms)
+                coords0[r, :n] = c0
+                mask[r, :n] = 1.0
+                b_idx[r, :len(bl)] = bi
+                b_len[r, :len(bl)] = bl
+                a_idx[r, :len(al)] = ai
+                a_len[r, :len(al)] = al
+            refined = refine_conformers(
+                coords0, mask, b_idx, b_len, a_idx, a_len, iters=self.iters
+            )
+            refined = np.asarray(jax.device_get(refined))
+            for r, (orig_i, (atoms, *_)) in enumerate(items):
+                out[orig_i] = refined[r, : len(atoms)]
+        return out
+
+
+def device_smi2coords_batch(
+    smiles_list: Sequence[str],
+    seed: int = 42,
+    remove_hs: bool = False,
+    iters: int = 300,
+) -> List[Tuple[List[str], np.ndarray]]:
+    """Batched device-refined (atoms, coords) for each SMILES, in order.
+
+    SmilesError propagates; other per-molecule failures produce the zeros
+    fallback (matching builtin_smi2coords's ladder)."""
+    from mmdti_tpu.chem.conformer import _strip_hs
+
+    prepared: Dict[int, List[Tuple[int, tuple]]] = {}
+    results: List[Optional[Tuple[List[str], np.ndarray]]] = [None] * len(smiles_list)
+    host_fallback: List[int] = []
+    for i, smi in enumerate(smiles_list):
+        try:
+            item = _prepare(smi, seed)
+        except SmilesError:
+            raise
+        except Exception:
+            mol = parse_smiles(smi).add_hydrogens()
+            atoms = [a.symbol for a in mol.atoms]
+            results[i] = (atoms, np.zeros((len(atoms), 3), np.float32))
+            continue
+        atoms, c0, bi, bl, ai, al = item
+        bucket = _atom_bucket(len(atoms))
+        if len(bl) > bucket * _NB_FACTOR or len(al) > bucket * _NA_FACTOR:
+            host_fallback.append(i)  # degree-pathological: host refiner
+            continue
+        prepared.setdefault(bucket, []).append((i, item))
+
+    if host_fallback:
+        from mmdti_tpu.chem.conformer import builtin_smi2coords
+
+        logger.info(
+            "device conformer provider: %d molecule(s) exceeded the term "
+            "caps; refined on host", len(host_fallback),
+        )
+        for i in host_fallback:
+            results[i] = builtin_smi2coords(
+                smiles_list[i], seed=seed, remove_hs=False
+            )
+
+    if prepared:
+        refined = DeviceConformerBatcher(iters=iters).refine_groups(prepared)
+        for bucket_items in prepared.values():
+            for orig_i, (atoms, *_) in bucket_items:
+                results[orig_i] = (atoms, refined[orig_i])
+
+    final: List[Tuple[List[str], np.ndarray]] = []
+    for res in results:
+        atoms, coords = res
+        if remove_hs:
+            atoms, coords = _strip_hs(atoms, coords)
+        final.append((list(atoms), coords))
+    return final

@@ -58,8 +58,11 @@ def _lib():
                     # Combined graph->terms->refine entry; absent from
                     # pre-round-3 builds of the library, and gated on the
                     # ABI version so a stale build cannot be miscalled.
+                    # (v2 and v3 share the mmchem_embed signature; v3 adds
+                    # mmchem_terms for the device-refine provider.)
                     lib.mmchem_abi_version.restype = ctypes.c_int
-                    if lib.mmchem_abi_version() != 2:
+                    abi = lib.mmchem_abi_version()
+                    if abi not in (2, 3):
                         raise AttributeError("mmchem ABI mismatch")
                     lib.mmchem_embed.restype = ctypes.c_int
                     lib.mmchem_embed.argtypes = [
@@ -72,8 +75,24 @@ def _lib():
                         ctypes.POINTER(ctypes.c_int),     # flags [n]
                         ctypes.c_int,                     # iters
                     ]
+                    if abi >= 3:
+                        lib.mmchem_terms.restype = ctypes.c_int
+                        lib.mmchem_terms.argtypes = [
+                            ctypes.c_int,                     # n atoms
+                            ctypes.c_int,                     # n bonds
+                            ctypes.POINTER(ctypes.c_int),     # bonds [nb,2]
+                            ctypes.POINTER(ctypes.c_double),  # orders [nb]
+                            ctypes.POINTER(ctypes.c_double),  # bond lens [nb]
+                            ctypes.POINTER(ctypes.c_int),     # flags [n]
+                            ctypes.c_int,                     # cap_na
+                            ctypes.POINTER(ctypes.c_int),     # out aidx
+                            ctypes.POINTER(ctypes.c_float),   # out alen
+                        ]
+                    else:
+                        lib._mmdti_no_terms = True
                 except AttributeError:
                     lib._mmdti_no_embed = True
+                    lib._mmdti_no_terms = True
                 _LIB = lib
                 break
             except OSError:
@@ -91,25 +110,18 @@ def embed_available() -> bool:
     return lib is not None and not getattr(lib, "_mmdti_no_embed", False)
 
 
-def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:
-    """Term building + refinement fully native: only the per-atom flag and
-    per-bond index/order/length marshalling stays in Python (O(n+nb) work vs
-    the O(n^2) pure-Python nonbonded enumeration in conformer._build_terms;
-    bond lengths come from conformer._ideal_bond_length so the constants stay
-    single-sourced).  Returns None when the library (or the mmchem_embed
-    entry) is unavailable.
-    """
-    if not embed_available():
-        return None
+def terms_available() -> bool:
+    """True when the mmchem_terms entry (ABI v3) can be used."""
     lib = _lib()
+    return lib is not None and not getattr(lib, "_mmdti_no_terms", False)
+
+
+def _marshal_graph(mol):
+    """Per-atom flags + per-bond index/order/ideal-length arrays (the only
+    Python work on the native paths; bond lengths come from
+    conformer._ideal_bond_length so the constants stay single-sourced)."""
     from mmdti_tpu.chem.conformer import _ideal_bond_length
 
-    n = mol.num_atoms()
-    if coords.shape[0] != n:
-        raise ValueError(
-            f"coords rows ({coords.shape[0]}) != mol atoms ({n}); refusing to "
-            "hand mismatched buffers to the native kernel"
-        )
     syms = [a.symbol for a in mol.atoms]
     flags = np.array(
         [(1 if a.aromatic else 0) | (2 if s == "B" else 0)
@@ -124,6 +136,53 @@ def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarr
         [_ideal_bond_length(syms[b.a1], syms[b.a2], b.order) for b in mol.bonds],
         dtype=np.float64,
     )
+    return flags, bonds, orders, blens
+
+
+def bond_angle_terms(mol):
+    """Native twin of conformer._bond_angle_terms (minus the seen13 set):
+    (bidx int32 [NB,2], blen f32, aidx int32 [NA,2], alen f32), or None when
+    the mmchem_terms entry is unavailable or overflows the cap.  Bit-exact
+    with the Python builder (same double math, f32 casts)."""
+    if not terms_available():
+        return None
+    lib = _lib()
+    flags, bonds, orders, blens = _marshal_graph(mol)
+    n = mol.num_atoms()
+    nb = len(orders)
+    cap = max(16, 8 * n)
+    aidx = np.empty((cap, 2), dtype=np.int32)
+    alen = np.empty(cap, dtype=np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    dp = ctypes.POINTER(ctypes.c_double)
+    na = lib.mmchem_terms(
+        n, nb, bonds.ctypes.data_as(ip), orders.ctypes.data_as(dp),
+        blens.ctypes.data_as(dp), flags.ctypes.data_as(ip),
+        cap, aidx.ctypes.data_as(ip), alen.ctypes.data_as(fp),
+    )
+    if na < 0:
+        return None
+    return bonds, blens.astype(np.float32), aidx[:na].copy(), alen[:na].copy()
+
+
+def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:
+    """Term building + refinement fully native: only the O(n+nb) graph
+    marshalling stays in Python (vs the O(n^2) pure-Python nonbonded
+    enumeration in conformer._build_terms).  Returns None when the library
+    (or the mmchem_embed entry) is unavailable.
+    """
+    if not embed_available():
+        return None
+    lib = _lib()
+
+    n = mol.num_atoms()
+    if coords.shape[0] != n:
+        raise ValueError(
+            f"coords rows ({coords.shape[0]}) != mol atoms ({n}); refusing to "
+            "hand mismatched buffers to the native kernel"
+        )
+    flags, bonds, orders, blens = _marshal_graph(mol)
     x = np.ascontiguousarray(coords, dtype=np.float32).copy()
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int)

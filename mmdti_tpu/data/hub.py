@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from mmdti_tpu.chem import ConformerGen
+from mmdti_tpu.chem.conformer import resolve_coord_provider as _resolve_provider
 from mmdti_tpu.data.reader import MolDataReader
 from mmdti_tpu.data.scaler import TargetScaler
 from mmdti_tpu.data.weights import compute_sample_weights
@@ -50,6 +51,9 @@ def _featurizer_fingerprint(params: Dict[str, Any]) -> Dict[str, Any]:
         # (device-side reconstruction, ops/pair_feats.py) — a cache built
         # one way cannot serve the other
         "pair_feats": bool(params.get("pair_feats", True)),
+        # RESOLVED refinement placement: host float64 and device float32
+        # coordinates differ, so a cache built by one cannot serve the other
+        "coord_provider": _resolve_provider(params.get("coord_provider", "auto")),
         "dict": hashlib.md5("\n".join(d.symbols).encode()).hexdigest(),
     }
 

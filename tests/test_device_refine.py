@@ -1,0 +1,178 @@
+"""Accelerator-side conformer refinement (ops/device_refine.py +
+chem/device_conformer.py).
+
+The device refiner runs the SAME energy model as the host reference
+(chem/conformer.py `_refine`, float64) in float32 on padded batches.  The
+trajectories are not bitwise comparable across precisions, so equivalence
+is asserted where it matters: the refined geometry (distance matrices) and
+the energy reached.  Determinism is asserted exactly: a molecule's
+coordinates must not depend on what it is co-batched with.
+"""
+
+import numpy as np
+import pytest
+
+import mmdti_tpu.chem.device_conformer as dc
+from mmdti_tpu.chem.conformer import (
+    ConformerGen,
+    _build_terms,
+    _refine,
+    resolve_coord_provider,
+)
+from mmdti_tpu.chem.smiles import parse_smiles
+from mmdti_tpu.ops.device_refine import refine_conformers, refine_energy
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "CC(C)Cc1ccc(cc1)C(C)C(=O)O"]
+
+
+def _host_inputs(smi, seed=42):
+    mol = parse_smiles(smi).add_hydrogens()
+    n = mol.num_atoms()
+    rng = np.random.RandomState(seed)
+    scale = max(1.5, 0.8 * n ** (1.0 / 3.0) * 2.0)
+    coords0 = rng.randn(n, 3).astype(np.float32) * scale
+    return mol, coords0
+
+
+def _device_batch(smis, seed=42):
+    prepared = {}
+    metas = []
+    for i, smi in enumerate(smis):
+        item = dc._prepare(smi, seed)
+        bucket = dc._atom_bucket(len(item[0]))
+        prepared.setdefault(bucket, []).append((i, item))
+        metas.append(item)
+    out = dc.DeviceConformerBatcher(iters=300).refine_groups(prepared)
+    return [out[i] for i in range(len(smis))], metas
+
+
+def _dmat(x):
+    d = x[:, None, :] - x[None, :, :]
+    return np.sqrt((d * d).sum(-1))
+
+
+class TestRefineParity:
+    @pytest.mark.parametrize("smi", SMILES)
+    def test_geometry_matches_host_float64_refine(self, smi):
+        mol, coords0 = _host_inputs(smi)
+        terms = _build_terms(mol)
+        host = _refine(coords0.copy(), terms, iters=300)
+
+        (dev,), _ = _device_batch([smi])
+        assert dev.shape == host.shape
+        # float32 vs float64 trajectories drift, but both must land in the
+        # same minimum basin: compare the geometry the model actually sees
+        np.testing.assert_allclose(_dmat(dev), _dmat(host), atol=0.15)
+
+    @pytest.mark.parametrize("smi", SMILES)
+    def test_energy_quality(self, smi):
+        """Device refinement reaches (at least) the host refiner's energy
+        basin and massively improves on the random init."""
+        mol, coords0 = _host_inputs(smi)
+        (dev,), metas = _device_batch([smi])
+        atoms, c0, bi, bl, ai, al = metas[0]
+        n = len(atoms)
+
+        def energy(x):
+            m = np.ones((1, n), np.float32)
+            return float(refine_energy(
+                x[None], m, bi[None], bl[None], ai[None], al[None]
+            )[0])
+
+        host = _refine(coords0.copy(), _build_terms(mol), iters=300)
+        e_dev, e_host, e_init = energy(dev), energy(host), energy(coords0)
+        assert e_dev <= e_host * 1.10 + 1e-3, (e_dev, e_host)
+        assert e_dev < e_init * 0.2, (e_dev, e_init)
+
+
+class TestDeterminism:
+    def test_coords_independent_of_co_batched_molecules(self):
+        """Same bucket, different batch composition: coords agree to float
+        accumulation noise (the padded SHAPES are batch-invariant by
+        construction; the batch count M still changes XLA's batched-matmul
+        codegen, so 300 iterations accumulate ~1e-6 A of ULP drift —
+        physically meaningless, asserted bounded here)."""
+        alone, _ = _device_batch(["CCO"])
+        pair, _ = _device_batch(["CCO", "CCN"])  # both land in bucket 16
+        np.testing.assert_allclose(alone[0], pair[0], atol=1e-4)
+
+    def test_single_process_matches_transform(self):
+        gen = ConformerGen(coord_provider="device", seed=42)
+        via_batch = gen.transform(["CCO", "c1ccccc1"])
+        via_single = gen.single_process("CCO")
+        # same ULP-drift bound as co-batching (the batch count differs)
+        np.testing.assert_allclose(
+            via_batch[0]["src_coord"], via_single["src_coord"], atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            via_batch[0]["src_tokens"], via_single["src_tokens"]
+        )
+
+    def test_repeat_calls_identical(self):
+        a, _ = _device_batch(["CC(=O)O"])
+        b, _ = _device_batch(["CC(=O)O"])
+        np.testing.assert_array_equal(a[0], b[0])
+
+
+class TestProviderPlumbing:
+    def test_resolve(self):
+        assert resolve_coord_provider("host") == "host"
+        assert resolve_coord_provider("device") == "device"
+        # on the CPU test backend 'auto' must stay host (no surprise
+        # accelerator dependency in data tooling)
+        assert resolve_coord_provider("auto") == "host"
+
+    def test_bad_provider_rejected(self):
+        with pytest.raises(ValueError, match="coord_provider"):
+            ConformerGen(coord_provider="gpu")
+
+    def test_term_cap_fallback_to_host(self, monkeypatch):
+        """Molecules whose term counts exceed the per-bucket caps refine on
+        the host — same ladder, logged."""
+        monkeypatch.setattr(dc, "_NB_FACTOR", 0)
+        out = dc.device_smi2coords_batch(["CCO"], seed=42)
+        atoms, coords = out[0]
+        from mmdti_tpu.chem.conformer import builtin_smi2coords
+
+        h_atoms, h_coords = builtin_smi2coords("CCO", seed=42)
+        assert atoms == h_atoms
+        np.testing.assert_allclose(coords, h_coords, atol=1e-5)
+
+    def test_provider_in_cache_fingerprint(self):
+        from mmdti_tpu.data.hub import _featurizer_fingerprint
+
+        fp_host = _featurizer_fingerprint({"coord_provider": "host"})
+        fp_dev = _featurizer_fingerprint({"coord_provider": "device"})
+        assert fp_host != fp_dev
+        assert fp_dev["coord_provider"] == "device"
+
+    def test_native_terms_bit_exact(self):
+        """mmchem_terms (C++ ABI v3) must reproduce the Python term builder
+        exactly — both feed the same device refinement."""
+        from mmdti_tpu.chem import native
+        from mmdti_tpu.chem.conformer import _bond_angle_terms
+
+        if not native.terms_available():
+            pytest.skip("libmmchem.so not built (make -C csrc)")
+        for smi in ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+                    "C#CC=CC1CC1N(C)C", "B(O)(O)c1ccccc1", "C1CC1.CCO"]:
+            mol = parse_smiles(smi).add_hydrogens()
+            nb_, nl_, na_, al_ = native.bond_angle_terms(mol)
+            pb, pl, pa, pal, _ = _bond_angle_terms(mol)
+            np.testing.assert_array_equal(nb_, pb, err_msg=smi)
+            np.testing.assert_array_equal(nl_, pl, err_msg=smi)
+            np.testing.assert_array_equal(na_, pa, err_msg=smi)
+            np.testing.assert_array_equal(al_, pal, err_msg=smi)
+
+    def test_feature_dict_contract(self):
+        """Device-provider features have the exact molecule-path schema."""
+        gen = ConformerGen(coord_provider="device", seed=42)
+        feats = gen.transform(["CCO"])
+        f = feats[0]
+        assert set(f) == {"src_tokens", "src_distance", "src_coord", "src_edge_type"}
+        n = len(f["src_tokens"])
+        assert f["src_distance"].shape == (n, n)
+        assert f["src_coord"].shape == (n, 3)
+        # BOS/EOS rows zeroed, centered interior
+        assert (f["src_coord"][0] == 0).all() and (f["src_coord"][-1] == 0).all()
+        np.testing.assert_allclose(f["src_coord"][1:-1].mean(0), 0.0, atol=1e-5)
