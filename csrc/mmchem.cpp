@@ -11,7 +11,9 @@
 // Build: make -C csrc   (produces libmmchem.so)
 
 #include <cmath>
+#include <cctype>
 #include <cstring>
+#include <string>
 #include <utility>
 #include <vector>
 
@@ -114,7 +116,7 @@ int mmchem_refine(int n, float* coords,
 // stale MMCHEM_LIB build degrades to the refine/numpy ladder instead of
 // miscalling.  v3: adds mmchem_terms (angle-term building without refine,
 // feeding the accelerator-side refinement — ops/device_refine.py).
-int mmchem_abi_version() { return 3; }
+int mmchem_abi_version() { return 4; }
 
 // Angle-term building only (same math as the mmchem_embed path below,
 // shared via build_angle_terms): the device-refine provider builds bond
@@ -187,6 +189,415 @@ int mmchem_embed(int n, float* coords,
                (int)(alen.size()), aidx.data(), alen.data(),
                (int)(nidx.size() / 2), nidx.data(), iters);
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SMILES parsing (ABI v4).  A line-faithful port of
+// mmdti_tpu/chem/smiles.py::parse_smiles + implicit_h + add_hydrogens —
+// the per-molecule Python parse was the largest remaining host cost in the
+// device-refine featurization path.  Semantics notes carried over:
+//   * implicit-H rounding uses round-half-to-even (Python round());
+//   * divalent aromatic heteroatoms (o, s, se) never get an implicit H;
+//   * ring perception is SKIPPED: in_ring flags feed nothing downstream of
+//     this entry (the Python parser stays the source of truth for
+//     validity checking and scaffold work).
+// On any parse error the entry returns -1 and the Python binding falls
+// back to the Python parser (which raises the detailed SmilesError).
+// ---------------------------------------------------------------------------
+
+namespace smi {
+
+struct PAtom {
+  char sym[3];
+  bool aromatic;
+  int explicit_h;  // -1 = implicit rule applies
+};
+
+struct PBond {
+  int a1, a2;
+  double order;
+};
+
+static bool is_element(const std::string& s) {
+  static const char* kElems[] = {
+      "H",  "He", "Li", "Be", "B",  "C",  "N",  "O",  "F",  "Ne", "Na", "Mg",
+      "Al", "Si", "P",  "S",  "Cl", "Ar", "K",  "Ca", "Sc", "Ti", "V",  "Cr",
+      "Mn", "Fe", "Co", "Ni", "Cu", "Zn", "Ga", "Ge", "As", "Se", "Br", "Kr",
+      "Rb", "Sr", "Y",  "Zr", "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag", "Cd",
+      "In", "Sn", "Sb", "Te", "I",  "Xe", "Cs", "Ba", "La", "Ce", "Pr", "Nd",
+      "Sm", "Eu", "Gd", "Tb", "Dy", "Ho", "Er", "Yb", "Lu", "Hf", "Ta", "W",
+      "Re", "Os", "Ir", "Pt", "Au", "Hg", "Tl", "Pb", "Bi", "Po", "At", "Rn",
+      "U",  "*"};
+  for (const char* e : kElems)
+    if (s == e) return true;
+  return false;
+}
+
+static double bond_order(char c) {
+  switch (c) {
+    case '-': return 1.0;
+    case '=': return 2.0;
+    case '#': return 3.0;
+    case '$': return 4.0;
+    case ':': return 1.5;
+    case '/': return 1.0;
+    case '\\': return 1.0;
+  }
+  return 0.0;
+}
+
+static bool is_bond_char(char c) {
+  return c == '-' || c == '=' || c == '#' || c == '$' || c == ':' ||
+         c == '/' || c == '\\';
+}
+
+// [isotope? symbol @...? H<n>? +|-<n>? (:map)?] — mirrors _read_bracket_atom.
+static bool read_bracket(const std::string& s, size_t pos, PAtom* atom,
+                         size_t* next) {
+  size_t close = s.find(']', pos);
+  if (close == std::string::npos) return false;
+  std::string body = s.substr(pos + 1, close - pos - 1);
+  size_t k = 0;
+  while (k < body.size() && isdigit((unsigned char)body[k])) ++k;  // isotope
+  bool aromatic = false;
+  std::string sym;
+  if (k < body.size()) {
+    if (k + 1 < body.size() && isupper((unsigned char)body[k]) &&
+        islower((unsigned char)body[k + 1]) &&
+        is_element(body.substr(k, 2))) {
+      sym = body.substr(k, 2);
+      k += 2;
+    } else if (body[k] == '*') {
+      sym = "*";
+      k += 1;
+    } else if (isupper((unsigned char)body[k])) {
+      sym = body.substr(k, 1);
+      if (!is_element(sym)) return false;
+      k += 1;
+    } else if (islower((unsigned char)body[k])) {
+      std::string cand = body.substr(k, 2);
+      if (cand.size() == 2 && islower((unsigned char)cand[1]) &&
+          (cand == "se" || cand == "as" || cand == "te" || cand == "si")) {
+        cand[0] = (char)toupper((unsigned char)cand[0]);
+        sym = cand;
+        k += 2;
+      } else {
+        sym = std::string(1, (char)toupper((unsigned char)body[k]));
+        k += 1;
+      }
+      if (!is_element(sym)) return false;
+      aromatic = true;
+    }
+  }
+  if (sym.empty()) return false;
+  // chirality: mirrors the Python skip (incl. named classes like @TH1)
+  while (k < body.size() && body[k] == '@') {
+    ++k;
+    while (k < body.size() && isupper((unsigned char)body[k]) &&
+           std::string("THALSPBO").find(body[k]) != std::string::npos) {
+      std::string two = body.substr(k, 2);
+      if (two == "TH" || two == "AL" || two == "SP" || two == "TB" ||
+          two == "OH") {
+        k += 2;
+        while (k < body.size() && isdigit((unsigned char)body[k])) ++k;
+      }
+      break;
+    }
+  }
+  int hcount = 0;
+  if (k < body.size() && body[k] == 'H') {
+    ++k;
+    std::string num;
+    while (k < body.size() && isdigit((unsigned char)body[k])) num += body[k++];
+    hcount = num.empty() ? 1 : atoi(num.c_str());
+  }
+  while (k < body.size() && (body[k] == '+' || body[k] == '-')) {
+    int sign = body[k] == '+' ? 1 : -1;
+    ++k;
+    std::string num;
+    while (k < body.size() && isdigit((unsigned char)body[k])) num += body[k++];
+    if (num.empty()) {
+      char rep = sign > 0 ? '+' : '-';
+      while (k < body.size() && (body[k] == '+' || body[k] == '-') &&
+             body[k] == rep)
+        ++k;
+    }
+  }
+  if (k < body.size() && body[k] == ':') {
+    ++k;
+    while (k < body.size() && isdigit((unsigned char)body[k])) ++k;
+  }
+  if (k != body.size()) return false;
+  std::memset(atom->sym, 0, 3);
+  std::memcpy(atom->sym, sym.c_str(), sym.size() > 2 ? 2 : sym.size());
+  atom->aromatic = aromatic;
+  atom->explicit_h = hcount;
+  *next = close + 1;
+  return true;
+}
+
+// default valences for implicit-H; empty = 0 implicit H
+static void valences(const char* sym, int* out, int* count) {
+  *count = 0;
+  std::string s(sym);
+  if (s == "B") { out[0] = 3; *count = 1; }
+  else if (s == "C") { out[0] = 4; *count = 1; }
+  else if (s == "N") { out[0] = 3; out[1] = 5; *count = 2; }
+  else if (s == "O") { out[0] = 2; *count = 1; }
+  else if (s == "P") { out[0] = 3; out[1] = 5; *count = 2; }
+  else if (s == "S") { out[0] = 2; out[1] = 4; out[2] = 6; *count = 3; }
+  else if (s == "F" || s == "Cl" || s == "Br" || s == "I") {
+    out[0] = 1; *count = 1;
+  }
+}
+
+struct Graph {
+  std::vector<PAtom> atoms;
+  std::vector<PBond> bonds;
+};
+
+static bool parse(const std::string& input, Graph* g) {
+  // strip() equivalent
+  size_t b = input.find_first_not_of(" \t\r\n");
+  if (b == std::string::npos) return false;
+  size_t e = input.find_last_not_of(" \t\r\n");
+  std::string s = input.substr(b, e - b + 1);
+
+  int prev = -1;
+  bool have_prev = false;
+  char pending = 0;  // 0 = none
+  std::vector<std::pair<int, char>> branch;          // (prev, unused)
+  std::vector<std::pair<std::string, std::pair<int, char>>> rings;
+
+  auto attach = [&](int idx) -> bool {
+    if (!have_prev && pending) return false;
+    if (have_prev) {
+      double order;
+      bool arom;
+      if (pending) {
+        order = bond_order(pending);
+        arom = pending == ':';
+      } else if (g->atoms[prev].aromatic && g->atoms[idx].aromatic) {
+        order = 1.5; arom = true;
+      } else {
+        order = 1.0; arom = false;
+      }
+      (void)arom;
+      if (prev == idx) return false;
+      g->bonds.push_back({prev, idx, order});
+    }
+    prev = idx;
+    have_prev = true;
+    pending = 0;
+    return true;
+  };
+
+  auto add_atom = [&](const std::string& sym, bool aromatic, int eh) -> int {
+    PAtom a;
+    std::memset(a.sym, 0, 3);
+    std::memcpy(a.sym, sym.c_str(), sym.size() > 2 ? 2 : sym.size());
+    a.aromatic = aromatic;
+    a.explicit_h = eh;
+    g->atoms.push_back(a);
+    return (int)g->atoms.size() - 1;
+  };
+
+  size_t i = 0, n = s.size();
+  while (i < n) {
+    char c = s[i];
+    if (c == '[') {
+      PAtom a;
+      size_t next;
+      if (!read_bracket(s, i, &a, &next)) return false;
+      g->atoms.push_back(a);
+      if (!attach((int)g->atoms.size() - 1)) return false;
+      i = next;
+    } else if (isupper((unsigned char)c)) {
+      std::string two = s.substr(i, 2);
+      if (two == "Cl" || two == "Br") {
+        if (!attach(add_atom(two, false, -1))) return false;
+        i += 2;
+      } else if (c == 'B' || c == 'C' || c == 'N' || c == 'O' || c == 'P' ||
+                 c == 'S' || c == 'F' || c == 'I') {
+        if (!attach(add_atom(std::string(1, c), false, -1))) return false;
+        i += 1;
+      } else {
+        return false;  // atom requires brackets
+      }
+    } else if (c == 'b' || c == 'c' || c == 'n' || c == 'o' || c == 'p' ||
+               c == 's') {
+      if (!attach(add_atom(std::string(1, (char)toupper((unsigned char)c)),
+                           true, -1)))
+        return false;
+      i += 1;
+    } else if (c == '*') {
+      if (!attach(add_atom("*", false, -1))) return false;
+      i += 1;
+    } else if (is_bond_char(c)) {
+      if (pending) return false;
+      pending = c;
+      i += 1;
+    } else if (c == '(') {
+      if (!have_prev) return false;
+      if (pending) return false;
+      branch.push_back({prev, 0});
+      i += 1;
+    } else if (c == ')') {
+      if (branch.empty()) return false;
+      if (pending) return false;
+      prev = branch.back().first;
+      branch.pop_back();
+      have_prev = true;
+      pending = 0;
+      i += 1;
+    } else if (isdigit((unsigned char)c) || c == '%') {
+      if (!have_prev) return false;
+      std::string key;
+      if (c == '%') {
+        if (i + 2 >= n || !isdigit((unsigned char)s[i + 1]) ||
+            !isdigit((unsigned char)s[i + 2]))
+          return false;
+        key = s.substr(i + 1, 2);
+        i += 3;
+      } else {
+        key = std::string(1, c);
+        i += 1;
+      }
+      int found = -1;
+      for (size_t r = 0; r < rings.size(); ++r)
+        if (rings[r].first == key) { found = (int)r; break; }
+      if (found >= 0) {
+        int other = rings[found].second.first;
+        char obond = rings[found].second.second;
+        rings.erase(rings.begin() + found);
+        if (other == prev) return false;
+        char bond_sym = pending ? pending : obond;
+        double order;
+        if (bond_sym) {
+          order = bond_order(bond_sym);
+        } else if (g->atoms[other].aromatic && g->atoms[prev].aromatic) {
+          order = 1.5;
+        } else {
+          order = 1.0;
+        }
+        if (other == prev) return false;
+        g->bonds.push_back({other, prev, order});
+        pending = 0;
+      } else {
+        rings.push_back({key, {prev, pending}});
+        pending = 0;
+      }
+    } else if (c == '.') {
+      if (pending) return false;
+      have_prev = false;
+      prev = -1;
+      i += 1;
+    } else if (c == ' ' || c == '\t') {
+      break;  // SMILES ends at whitespace (title section)
+    } else {
+      return false;
+    }
+  }
+  if (pending) return false;
+  if (!branch.empty()) return false;
+  if (!rings.empty()) return false;
+  if (g->atoms.empty()) return false;
+  return true;
+}
+
+static int implicit_h(const Graph& g, int i,
+                      const std::vector<double>& bond_sum,
+                      const std::vector<int>& degree) {
+  const PAtom& a = g.atoms[i];
+  if (a.explicit_h >= 0) return a.explicit_h;
+  int v[3], vc;
+  valences(a.sym, v, &vc);
+  if (vc == 0 || a.sym[0] == '*') return 0;
+  double need = bond_sum[i];
+  if (a.aromatic) {
+    if (v[0] <= 2) return 0;  // divalent aromatic heteroatoms: no phantom H
+    double lower = 1.5 * degree[i];
+    if (lower > need) need = lower;
+  }
+  for (int k = 0; k < vc; ++k) {
+    if (v[k] + 1e-9 >= need) {
+      // Python round(): half-to-even
+      double d = std::nearbyint((double)v[k] - need);
+      int h = (int)d;
+      return h > 0 ? h : 0;
+    }
+  }
+  return 0;
+}
+
+}  // namespace smi
+
+extern "C" {
+
+// Parse a SMILES string and expand implicit hydrogens (the exact
+// featurization graph builtin_smi2coords starts from).  Outputs:
+//   sym_out   [cap_atoms*3] char — 2-char symbols, NUL padded
+//   flags_out [cap_atoms] int   — bit0 aromatic, bit1 boron (B)
+//   bonds_out [cap_bonds*2] int, orders_out [cap_bonds] double
+//   n_bonds_out — bond count (heavy + H bonds)
+// Returns the atom count AFTER H expansion, or -1 on parse error /
+// overflowed caps (caller falls back to the Python parser).
+int mmchem_parse(const char* smiles, int cap_atoms, char* sym_out,
+                 int* flags_out, int cap_bonds, int* bonds_out,
+                 double* orders_out, int* n_bonds_out) {
+  if (!smiles || !sym_out || !flags_out || !bonds_out || !orders_out ||
+      !n_bonds_out)
+    return -1;
+  smi::Graph g;
+  if (!smi::parse(smiles, &g)) return -1;
+  int nh = (int)g.atoms.size();
+  std::vector<double> bond_sum(nh, 0.0);
+  std::vector<int> degree(nh, 0);
+  for (const auto& b : g.bonds) {
+    if (b.a1 < 0 || b.a1 >= nh || b.a2 < 0 || b.a2 >= nh) return -1;
+    bond_sum[b.a1] += b.order;
+    bond_sum[b.a2] += b.order;
+    degree[b.a1] += 1;
+    degree[b.a2] += 1;
+  }
+  // count hydrogens to add
+  std::vector<int> hcount(nh);
+  int total = nh;
+  for (int i = 0; i < nh; ++i) {
+    hcount[i] = smi::implicit_h(g, i, bond_sum, degree);
+    total += hcount[i];
+  }
+  int nb_total = (int)g.bonds.size() + (total - nh);
+  if (total > cap_atoms || nb_total > cap_bonds) return -1;
+  for (int i = 0; i < nh; ++i) {
+    std::memcpy(sym_out + 3 * i, g.atoms[i].sym, 3);
+    flags_out[i] = (g.atoms[i].aromatic ? 1 : 0) |
+                   ((g.atoms[i].sym[0] == 'B' && g.atoms[i].sym[1] == 0) ? 2 : 0);
+  }
+  int nb = 0;
+  for (const auto& b : g.bonds) {
+    bonds_out[2 * nb] = b.a1;
+    bonds_out[2 * nb + 1] = b.a2;
+    orders_out[nb] = b.order;
+    ++nb;
+  }
+  int next = nh;
+  for (int i = 0; i < nh; ++i) {
+    for (int h = 0; h < hcount[i]; ++h) {
+      std::memset(sym_out + 3 * next, 0, 3);
+      sym_out[3 * next] = 'H';
+      flags_out[next] = 0;
+      bonds_out[2 * nb] = i;
+      bonds_out[2 * nb + 1] = next;
+      orders_out[nb] = 1.0;
+      ++nb;
+      ++next;
+    }
+  }
+  *n_bonds_out = nb;
+  return total;
 }
 
 }  // extern "C"

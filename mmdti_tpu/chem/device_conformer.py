@@ -53,18 +53,40 @@ def _atom_bucket(n: int) -> int:
 def _prepare(smi: str, seed: int):
     """Parse + terms + deterministic initial coordinates (host, cheap).
 
-    Term building prefers the native C++ entry (mmchem_terms, bit-exact with
-    the Python builder) — the pure-Python angle loop was the largest
-    remaining host cost once refinement moved on-device (profiled ~3.7 of
-    ~7.4 ms/mol on 51-heavy-atom molecules)."""
+    Fast path is fully native: SMILES parse + H expansion (mmchem_parse,
+    ABI v4) and angle-term building (mmchem_terms, ABI v3) both in C++,
+    bit-exact with the Python builders — together they were the dominant
+    remaining host cost once refinement moved on-device (parse ~1.7 +
+    angle loop ~3.7 of ~7.4 ms/mol on 51-heavy-atom molecules).  Only the
+    per-bond ideal-length lookup (single-sourced `_ideal_bond_length`) and
+    the init-coords draw stay in Python.  A native parse failure falls
+    back to the Python parser, which raises the detailed SmilesError."""
+    from mmdti_tpu.chem import native
+    from mmdti_tpu.chem.conformer import _ideal_bond_length
+
+    parsed = native.parse_graph(smi) if native.parse_available() else None
+    if parsed is not None:
+        atoms, flags, bidx, orders = parsed
+        n = len(atoms)
+        blens = np.array(
+            [_ideal_bond_length(atoms[i], atoms[j], o)
+             for (i, j), o in zip(bidx.tolist(), orders.tolist())],
+            dtype=np.float64,
+        )
+        out = native.angle_terms_from_arrays(n, bidx, orders, blens, flags)
+        if out is not None:
+            rng = np.random.RandomState(seed if seed >= 0 else None)
+            scale = max(1.5, 0.8 * n ** (1.0 / 3.0) * 2.0)
+            coords0 = rng.randn(n, 3).astype(np.float32) * scale
+            aidx, alen = out
+            return atoms, coords0, bidx, blens.astype(np.float32), aidx, alen
+
     mol = parse_smiles(smi).add_hydrogens()
     n = mol.num_atoms()
     atoms = [a.symbol for a in mol.atoms]
     rng = np.random.RandomState(seed if seed >= 0 else None)
     scale = max(1.5, 0.8 * n ** (1.0 / 3.0) * 2.0)
     coords0 = rng.randn(n, 3).astype(np.float32) * scale
-    from mmdti_tpu.chem import native
-
     terms = native.bond_angle_terms(mol) if native.terms_available() else None
     if terms is None:
         from mmdti_tpu.chem.conformer import _bond_angle_terms

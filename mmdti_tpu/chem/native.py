@@ -62,7 +62,7 @@ def _lib():
                     # mmchem_terms for the device-refine provider.)
                     lib.mmchem_abi_version.restype = ctypes.c_int
                     abi = lib.mmchem_abi_version()
-                    if abi not in (2, 3):
+                    if abi not in (2, 3, 4):
                         raise AttributeError("mmchem ABI mismatch")
                     lib.mmchem_embed.restype = ctypes.c_int
                     lib.mmchem_embed.argtypes = [
@@ -90,9 +90,24 @@ def _lib():
                         ]
                     else:
                         lib._mmdti_no_terms = True
+                    if abi >= 4:
+                        lib.mmchem_parse.restype = ctypes.c_int
+                        lib.mmchem_parse.argtypes = [
+                            ctypes.c_char_p,                  # smiles
+                            ctypes.c_int,                     # cap_atoms
+                            ctypes.POINTER(ctypes.c_char),    # sym_out [cap*3]
+                            ctypes.POINTER(ctypes.c_int),     # flags_out
+                            ctypes.c_int,                     # cap_bonds
+                            ctypes.POINTER(ctypes.c_int),     # bonds_out
+                            ctypes.POINTER(ctypes.c_double),  # orders_out
+                            ctypes.POINTER(ctypes.c_int),     # n_bonds_out
+                        ]
+                    else:
+                        lib._mmdti_no_parse = True
                 except AttributeError:
                     lib._mmdti_no_embed = True
                     lib._mmdti_no_terms = True
+                    lib._mmdti_no_parse = True
                 _LIB = lib
                 break
             except OSError:
@@ -114,6 +129,52 @@ def terms_available() -> bool:
     """True when the mmchem_terms entry (ABI v3) can be used."""
     lib = _lib()
     return lib is not None and not getattr(lib, "_mmdti_no_terms", False)
+
+
+def parse_available() -> bool:
+    """True when the mmchem_parse entry (ABI v4) can be used."""
+    lib = _lib()
+    return lib is not None and not getattr(lib, "_mmdti_no_parse", False)
+
+
+def parse_graph(smiles: str):
+    """Native SMILES parse + implicit-H expansion.
+
+    Returns (symbols list[str], flags int32 [n], bonds int32 [nb,2],
+    orders float64 [nb]) — the exact graph `parse_smiles(s).add_hydrogens()`
+    produces (same atom order: heavy atoms in parse order, hydrogens
+    appended per heavy atom) — or None when the entry is unavailable or the
+    parse fails (callers fall back to the Python parser, which raises the
+    detailed SmilesError)."""
+    if not parse_available():
+        return None
+    lib = _lib()
+    raw = smiles.encode("utf-8", errors="ignore")
+    # generous caps: atoms <= len(smiles)*? — every atom needs >=1 char, and
+    # H expansion adds at most 4 per heavy atom; retry once bigger on -1 is
+    # pointless since -1 also means parse error — size from the string.
+    cap_atoms = 8 * max(len(raw), 4) + 8
+    cap_bonds = cap_atoms + cap_atoms // 2 + 8
+    sym = ctypes.create_string_buffer(3 * cap_atoms)
+    flags = np.empty(cap_atoms, dtype=np.int32)
+    bonds = np.empty((cap_bonds, 2), dtype=np.int32)
+    orders = np.empty(cap_bonds, dtype=np.float64)
+    nb_out = ctypes.c_int(0)
+    ip = ctypes.POINTER(ctypes.c_int)
+    dp = ctypes.POINTER(ctypes.c_double)
+    n = lib.mmchem_parse(
+        raw, cap_atoms, sym, flags.ctypes.data_as(ip),
+        cap_bonds, bonds.ctypes.data_as(ip), orders.ctypes.data_as(dp),
+        ctypes.byref(nb_out),
+    )
+    if n < 0:
+        return None
+    nb = int(nb_out.value)
+    blob = sym.raw
+    syms = [
+        blob[3 * i : 3 * i + 3].rstrip(b"\x00").decode() for i in range(n)
+    ]
+    return syms, flags[:n].copy(), bonds[:nb].copy(), orders[:nb].copy()
 
 
 def _marshal_graph(mol):
@@ -139,6 +200,33 @@ def _marshal_graph(mol):
     return flags, bonds, orders, blens
 
 
+def angle_terms_from_arrays(n, bonds, orders, blens, flags):
+    """mmchem_terms over pre-marshalled arrays: (aidx int32 [NA,2],
+    alen f32 [NA]) or None (entry unavailable / overflow / bad input)."""
+    if not terms_available():
+        return None
+    lib = _lib()
+    bonds = np.ascontiguousarray(bonds, dtype=np.int32)
+    orders = np.ascontiguousarray(orders, dtype=np.float64)
+    blens = np.ascontiguousarray(blens, dtype=np.float64)
+    flags = np.ascontiguousarray(flags, dtype=np.int32)
+    cap = max(16, 8 * int(n))
+    aidx = np.empty((cap, 2), dtype=np.int32)
+    alen = np.empty(cap, dtype=np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    dp = ctypes.POINTER(ctypes.c_double)
+    na = lib.mmchem_terms(
+        int(n), len(orders), bonds.ctypes.data_as(ip),
+        orders.ctypes.data_as(dp), blens.ctypes.data_as(dp),
+        flags.ctypes.data_as(ip),
+        cap, aidx.ctypes.data_as(ip), alen.ctypes.data_as(fp),
+    )
+    if na < 0:
+        return None
+    return aidx[:na].copy(), alen[:na].copy()
+
+
 def bond_angle_terms(mol):
     """Native twin of conformer._bond_angle_terms (minus the seen13 set):
     (bidx int32 [NB,2], blen f32, aidx int32 [NA,2], alen f32), or None when
@@ -146,24 +234,12 @@ def bond_angle_terms(mol):
     with the Python builder (same double math, f32 casts)."""
     if not terms_available():
         return None
-    lib = _lib()
     flags, bonds, orders, blens = _marshal_graph(mol)
-    n = mol.num_atoms()
-    nb = len(orders)
-    cap = max(16, 8 * n)
-    aidx = np.empty((cap, 2), dtype=np.int32)
-    alen = np.empty(cap, dtype=np.float32)
-    fp = ctypes.POINTER(ctypes.c_float)
-    ip = ctypes.POINTER(ctypes.c_int)
-    dp = ctypes.POINTER(ctypes.c_double)
-    na = lib.mmchem_terms(
-        n, nb, bonds.ctypes.data_as(ip), orders.ctypes.data_as(dp),
-        blens.ctypes.data_as(dp), flags.ctypes.data_as(ip),
-        cap, aidx.ctypes.data_as(ip), alen.ctypes.data_as(fp),
-    )
-    if na < 0:
+    out = angle_terms_from_arrays(mol.num_atoms(), bonds, orders, blens, flags)
+    if out is None:
         return None
-    return bonds, blens.astype(np.float32), aidx[:na].copy(), alen[:na].copy()
+    aidx, alen = out
+    return bonds, blens.astype(np.float32), aidx, alen
 
 
 def embed_coords(mol, coords: np.ndarray, iters: int = 300) -> Optional[np.ndarray]:

@@ -164,6 +164,83 @@ class TestProviderPlumbing:
             np.testing.assert_array_equal(na_, pa, err_msg=smi)
             np.testing.assert_array_equal(al_, pal, err_msg=smi)
 
+    def test_native_parse_bit_exact(self):
+        """mmchem_parse (C++ ABI v4) must reproduce
+        parse_smiles(s).add_hydrogens() exactly: atom order, symbols,
+        aromatic/boron flags, bond list and orders — and reject exactly the
+        strings the Python parser rejects."""
+        from mmdti_tpu.chem import native
+
+        if not native.parse_available():
+            pytest.skip("libmmchem.so ABI v4 not built (make -C csrc)")
+        corpus = [
+            "CCO", "CC(=O)O", "c1ccccc1", "c1ccncc1", "C1CCCCC1",
+            "CC(=O)Oc1ccccc1C(=O)O", "c1ccc2ccccc2c1", "c1ccsc1", "c1ccoc1",
+            "c1cc[nH]c1", "[O-]C(=O)C", "[NH4+]", "[13CH4]",
+            "C[C@H](N)C(=O)O", "[Se]1C=CC=C1", "B(O)(O)c1ccccc1",
+            "C/C=C/C", "C1CC1.CCO", "C%10CCCCC%10", "O=S(=O)(O)O",
+            "CP(=O)(O)O", "[Na+].[Cl-]", "c1ccc(-c2ccccc2)cc1",
+            "CN1C=NC2=C1C(=O)N(C)C(=O)N2C", "COc1cc2c(cc1OC)CCN=C2",
+            "CC1=CC(=O)C=CC1=O", "[nH]1cccc1", "s1cccc1",
+            "FC(F)(F)c1ccccc1", "N#Cc1ccccc1",
+        ]
+        for smi in corpus:
+            mol = parse_smiles(smi).add_hydrogens()
+            nat = native.parse_graph(smi)
+            assert nat is not None, smi
+            syms, flags, bonds, orders = nat
+            assert syms == [a.symbol for a in mol.atoms], smi
+            np.testing.assert_array_equal(
+                flags,
+                [(1 if a.aromatic else 0) | (2 if a.symbol == "B" else 0)
+                 for a in mol.atoms], err_msg=smi)
+            np.testing.assert_array_equal(
+                bonds, np.array([[b.a1, b.a2] for b in mol.bonds]
+                                ).reshape(-1, 2), err_msg=smi)
+            np.testing.assert_array_equal(
+                orders, [b.order for b in mol.bonds], err_msg=smi)
+        for smi in ["", "C(", "C)", "C1CC", "Cl)", "[Xx]", "C%1CC", "C==C",
+                    "[C", "&", "Zn", "C..C", "=C", "1CC"]:
+            try:
+                parse_smiles(smi)
+                py_ok = True
+            except Exception:
+                py_ok = False
+            assert py_ok == (native.parse_graph(smi) is not None), smi
+
+    def test_native_parse_fuzz_against_python(self):
+        """Randomly generated strings over the SMILES alphabet: native and
+        Python parsers must agree on acceptance, and on the full graph for
+        every accepted string."""
+        from mmdti_tpu.chem import native
+
+        if not native.parse_available():
+            pytest.skip("libmmchem.so ABI v4 not built (make -C csrc)")
+        rng = np.random.RandomState(0)
+        alphabet = list("CCCNOSPcnos()[]=#-+123@Hl BrF/\\%.*")
+        accepted = 0
+        for _ in range(500):
+            n = rng.randint(1, 24)
+            smi = "".join(rng.choice(alphabet) for _ in range(n))
+            try:
+                mol = parse_smiles(smi).add_hydrogens()
+            except Exception:
+                mol = None
+            nat = native.parse_graph(smi)
+            if mol is None:
+                assert nat is None, f"native accepted {smi!r}"
+                continue
+            assert nat is not None, f"native rejected {smi!r}"
+            accepted += 1
+            syms, flags, bonds, orders = nat
+            assert syms == [a.symbol for a in mol.atoms], smi
+            np.testing.assert_array_equal(
+                bonds, np.array([[b.a1, b.a2] for b in mol.bonds]
+                                ).reshape(-1, 2), err_msg=smi)
+            np.testing.assert_array_equal(
+                orders, [b.order for b in mol.bonds], err_msg=smi)
+        assert accepted >= 10, f"fuzz corpus too weak ({accepted} accepted)"
+
     def test_feature_dict_contract(self):
         """Device-provider features have the exact molecule-path schema."""
         gen = ConformerGen(coord_provider="device", seed=42)
