@@ -119,21 +119,23 @@ class DeviceConformerBatcher:
             nb_cap = bucket * _NB_FACTOR
             na_cap = bucket * _NA_FACTOR
             coords0 = np.zeros((m, bucket, 3), np.float32)
-            mask = np.zeros((m, bucket), np.float32)
-            b_idx = np.zeros((m, nb_cap, 2), np.int32)
+            n_atoms = np.zeros((m,), np.int32)
+            # int16 on the wire (Np <= 512 always indexable); the kernel
+            # casts device-side — halves the index upload through the tunnel
+            b_idx = np.zeros((m, nb_cap, 2), np.int16)
             b_len = np.zeros((m, nb_cap), np.float32)
-            a_idx = np.zeros((m, na_cap, 2), np.int32)
+            a_idx = np.zeros((m, na_cap, 2), np.int16)
             a_len = np.zeros((m, na_cap), np.float32)
             for r, (_, (atoms, c0, bi, bl, ai, al)) in enumerate(items):
                 n = len(atoms)
                 coords0[r, :n] = c0
-                mask[r, :n] = 1.0
+                n_atoms[r] = n
                 b_idx[r, :len(bl)] = bi
                 b_len[r, :len(bl)] = bl
                 a_idx[r, :len(al)] = ai
                 a_len[r, :len(al)] = al
             refined = refine_conformers(
-                coords0, mask, b_idx, b_len, a_idx, a_len, iters=self.iters
+                coords0, n_atoms, b_idx, b_len, a_idx, a_len, iters=self.iters
             )
             refined = np.asarray(jax.device_get(refined))
             for r, (orig_i, (atoms, *_)) in enumerate(items):

@@ -123,18 +123,28 @@ def _refine_one(coords0, atom_mask, bond_idx, bond_len, ang_idx, ang_len,
 @functools.partial(jax.jit, static_argnames=("iters",))
 def refine_conformers(
     coords0: jnp.ndarray,     # [M, Np, 3] float32 initial coordinates
-    atom_mask: jnp.ndarray,   # [M, Np] float32, 1 for real atoms
-    bond_idx: jnp.ndarray,    # [M, NB, 2] int32, (0,0)-padded
+    n_atoms: jnp.ndarray,     # [M] int32 real-atom counts (mask built here)
+    bond_idx: jnp.ndarray,    # [M, NB, 2] int, (0,0)-padded (i16 on the wire)
     bond_len: jnp.ndarray,    # [M, NB] float32 ideal bond lengths
-    ang_idx: jnp.ndarray,     # [M, NA, 2] int32, (0,0)-padded
+    ang_idx: jnp.ndarray,     # [M, NA, 2] int, (0,0)-padded (i16 on the wire)
     ang_len: jnp.ndarray,     # [M, NA] float32 ideal 1-3 distances
     iters: int = 300,
 ) -> jnp.ndarray:
     """Refine a batch of molecules in one compiled program; returns the
-    refined [M, Np, 3] coordinates (padded rows are meaningless)."""
+    refined [M, Np, 3] coordinates (padded rows are meaningless).
+
+    Wire-size notes (the axon tunnel moves ~20-50 MB/s, so upload bytes are
+    real latency): callers pass int16 index arrays and the [M] atom counts;
+    the int32 casts and the [M, Np] mask construction happen device-side —
+    numerically identical to shipping the wide forms."""
+    np_ = coords0.shape[1]
+    mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (coords0.shape[0], np_), 1)
+        < n_atoms.astype(jnp.int32)[:, None]
+    ).astype(jnp.float32)
     return jax.vmap(_refine_one, in_axes=(0, 0, 0, 0, 0, 0, None))(
         coords0.astype(jnp.float32),
-        atom_mask.astype(jnp.float32),
+        mask,
         bond_idx.astype(jnp.int32),
         bond_len.astype(jnp.float32),
         ang_idx.astype(jnp.int32),
