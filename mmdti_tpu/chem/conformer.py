@@ -386,6 +386,12 @@ class ConformerGen:
                 f"coord_provider must be auto|host|device, got "
                 f"{self.coord_provider!r}"
             )
+        # below this total atom count (incl. H) the device provider routes a
+        # molecule to the host refiner anyway — a per-molecule deterministic
+        # rule (see device_conformer.device_smi2coords_batch)
+        self.device_refine_min_atoms = int(
+            params.get("device_refine_min_atoms", 48)
+        )
         self._resolved_provider: Optional[str] = (
             None if self.coord_provider == "auto" else self.coord_provider
         )
@@ -427,7 +433,8 @@ class ConformerGen:
         from mmdti_tpu.chem.device_conformer import device_smi2coords_batch
 
         pairs = device_smi2coords_batch(
-            smiles_list, seed=self.seed, remove_hs=self.remove_hs
+            smiles_list, seed=self.seed, remove_hs=self.remove_hs,
+            min_atoms=self.device_refine_min_atoms,
         )
         return [
             coords2unimol(

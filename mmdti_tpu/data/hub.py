@@ -36,7 +36,17 @@ def _featurizer_fingerprint(params: Dict[str, Any]) -> Dict[str, Any]:
         dict_path = cand if os.path.exists(cand) else None
     d = Dictionary.load(dict_path)
     d.add_symbol("[MASK]", is_special=True)
+    provider = _resolve_provider(params.get("coord_provider", "auto"))
+    extra = {}
+    if provider == "device":
+        # the device provider's per-molecule host/device size routing: a
+        # different threshold re-routes molecules across refiners.  Only
+        # fingerprinted when it can matter — host caches stay untouched.
+        extra["device_refine_min_atoms"] = int(
+            params.get("device_refine_min_atoms", 48)
+        )
     return {
+        **extra,
         # bumped when the featurization CODE changes output for the same
         # knobs (rev 2: divalent-aromatic implicit-H fix — thiophene/furan
         # molecules featurize differently, old caches must regenerate)
@@ -53,7 +63,7 @@ def _featurizer_fingerprint(params: Dict[str, Any]) -> Dict[str, Any]:
         "pair_feats": bool(params.get("pair_feats", True)),
         # RESOLVED refinement placement: host float64 and device float32
         # coordinates differ, so a cache built by one cannot serve the other
-        "coord_provider": _resolve_provider(params.get("coord_provider", "auto")),
+        "coord_provider": provider,
         "dict": hashlib.md5("\n".join(d.symbols).encode()).hexdigest(),
     }
 

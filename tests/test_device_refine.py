@@ -145,6 +145,33 @@ class TestProviderPlumbing:
         fp_dev = _featurizer_fingerprint({"coord_provider": "device"})
         assert fp_host != fp_dev
         assert fp_dev["coord_provider"] == "device"
+        # the size-routing threshold re-keys device caches but never host
+        assert "device_refine_min_atoms" in fp_dev
+        assert "device_refine_min_atoms" not in fp_host
+        fp_dev2 = _featurizer_fingerprint(
+            {"coord_provider": "device", "device_refine_min_atoms": 16}
+        )
+        assert fp_dev2 != fp_dev
+
+    def test_small_molecules_route_to_host_refiner(self):
+        """Below min_atoms the device provider must produce EXACTLY the host
+        refiner's coordinates (per-molecule deterministic size routing — the
+        host refiner beats the device dispatch's fixed transfer cost for
+        small molecules)."""
+        from mmdti_tpu.chem.conformer import builtin_smi2coords
+
+        out = dc.device_smi2coords_batch(
+            ["CCO", "C" * 40], seed=42, min_atoms=48
+        )
+        atoms_s, coords_s = out[0]      # 9 atoms -> host
+        h_atoms, h_coords = builtin_smi2coords("CCO", seed=42)
+        assert atoms_s == h_atoms
+        np.testing.assert_array_equal(coords_s, h_coords)
+        # 122 atoms -> device: differs from the float64 host trajectory
+        atoms_l, coords_l = out[1]
+        _, h_l = builtin_smi2coords("C" * 40, seed=42)
+        assert atoms_l == [*["C"] * 40, *["H"] * 82]
+        assert not np.array_equal(coords_l, h_l)
 
     def test_native_terms_bit_exact(self):
         """mmchem_terms (C++ ABI v3) must reproduce the Python term builder
