@@ -206,3 +206,26 @@ class TestMOFEndToEnd:
         df = pd.read_csv(os.path.join(tmp, "pred_out", csvs[0]))
         pcols = [c for c in df.columns if c.startswith("predict_")]
         assert pcols and np.isfinite(df[pcols[0]].values).all()
+
+    def test_fit_on_dp_mesh_matches_single_device(self, mof_csvs):
+        """The MOF path under data parallelism: an 8-device DP fit must
+        reproduce the single-device predictions (the MOF auxiliary inputs —
+        gas_id/gas_attr/pressure/temperature — shard over 'data' like every
+        other batch leaf; the molecule-path DP tests never exercise them)."""
+        from mmdti_tpu import MolTrain
+
+        train, val, tmp = mof_csvs
+        preds = {}
+        for name, mesh in (("single", (1, 1)), ("dp8", (8, 1))):
+            m = MolTrain(
+                task="regression", data_type="mof", epochs=1, batch_size=8,
+                metrics="mse", target_cols=["uptake"],
+                save_path=os.path.join(tmp, f"exp_{name}"),
+                seed=11, mesh_shape=mesh, **MOF_ARCH,
+            )
+            m.fit(train, val)
+            preds[name] = np.asarray(m.cv_pred, dtype=float).reshape(-1)
+        assert np.isfinite(preds["single"]).all()
+        np.testing.assert_allclose(
+            preds["dp8"], preds["single"], rtol=2e-4, atol=1e-5
+        )
