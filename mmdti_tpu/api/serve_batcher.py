@@ -160,10 +160,12 @@ class DynamicBatcher:
             try:
                 chunks, feats = self.serve._dispatch_forward(all_smiles)
             except Exception:
-                # host-stage failure (featurizer): resolve inline — the
-                # per-rider retries are themselves host work
-                self._count_batch(len(pending))
-                self._retry_each_alone(pending)
+                # host-stage failure (featurizer): hand the per-rider
+                # retries to the completion thread — they include blocking
+                # device pulls, and running them here would stall the
+                # dispatch loop (a retrying client with one bad SMILES
+                # would collapse the whole pipeline to sequential predicts)
+                self._cq.put((pending, None, None, t0))
                 continue
             self._cq.put((pending, chunks, feats, t0))
 
@@ -184,6 +186,8 @@ class DynamicBatcher:
             pending, chunks, feats, t0 = item
             self._count_batch(len(pending))
             try:
+                if chunks is None:  # host-stage failure: per-rider isolation
+                    raise RuntimeError("host-stage featurization failed")
                 out = self.serve._finalize_forward(chunks, feats, t0)
                 self._distribute(pending, out)
             except Exception:

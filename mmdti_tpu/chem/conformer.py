@@ -378,8 +378,10 @@ class ConformerGen:
         # dispatch (chem/device_conformer.py) — the host refine is the
         # measured sustained-serving bottleneck.  'auto' resolves to device
         # only when (a) RDKit is absent (RDKit keeps reference
-        # byte-compatibility) and (b) the jax backend is a TPU; resolution
-        # is lazy so data-only tooling never touches the accelerator.
+        # byte-compatibility) and (b) the jax backend is a TPU.  Resolution
+        # happens at the first transform (or at the conformer-cache
+        # fingerprint check, data/hub.py — cached features are only valid
+        # for the provider that WOULD run), never at construction.
         self.coord_provider = params.get("coord_provider", "auto")
         if self.coord_provider not in ("auto", "host", "device"):
             raise ValueError(

@@ -113,9 +113,16 @@ class DeviceConformerBatcher:
 
         from mmdti_tpu.ops.device_refine import refine_conformers
 
+        from mmdti_tpu.ops.device_refine import pad_counts
+
         out: Dict[int, np.ndarray] = {}
         for bucket, items in sorted(prepared.items()):
-            m = len(items)
+            # pad the molecule count too: every distinct (M, bucket) shape
+            # is a separate jit compile (seconds through the remote-compile
+            # tunnel), and serving batches have arbitrary miss counts.
+            # Zero rows are force-free (n_atoms 0 -> empty mask, (0,0)
+            # springs contribute nothing), so padding only costs compute.
+            m = pad_counts(len(items))
             nb_cap = bucket * _NB_FACTOR
             na_cap = bucket * _NA_FACTOR
             coords0 = np.zeros((m, bucket, 3), np.float32)

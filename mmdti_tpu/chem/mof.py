@@ -199,9 +199,12 @@ class MOFReader:
         self.dictionary = Dictionary.load(dict_path)
         self.dictionary.add_symbol("[MASK]", is_special=True)
         self.max_atoms = max_atoms
-        # deterministic over-max_atoms crop (the conformer cache and resume
-        # both assume refeaturization reproduces identical features)
-        self.crop_rng = np.random.RandomState(seed)
+        # base seed for the over-max_atoms crop; the per-structure seed is
+        # derived from the structure CONTENT (see read_with_gas) so a
+        # crystal's crop never depends on dataset order or composition —
+        # the conformer cache and resume both assume refeaturization
+        # reproduces identical features for the same CIF
+        self.crop_seed = int(seed)
 
     def cif_parser(self, cif_path: str, primitive: bool = False) -> Dict:
         if _HAVE_PYMATGEN:
@@ -226,11 +229,26 @@ class MOFReader:
         )
         return {"gas_id": GAS2ID.get(gas, 0), "gas_attr": GAS2ATTR.get(gas, [0.0] * 6)}
 
+    def _structure_crop_rng(self, atoms, coords) -> np.random.RandomState:
+        """Per-structure crop RNG: seeded from the structure content mixed
+        with the reader seed, so the (rare) >max_atoms crop is a pure
+        function of the crystal itself — featurizing the same CIF at any
+        dataset position, subset, or order draws the same atom subset."""
+        import zlib
+
+        blob = ("|".join(atoms)).encode() + np.ascontiguousarray(
+            np.round(np.asarray(coords, np.float64), 4)
+        ).tobytes()
+        return np.random.RandomState(
+            (zlib.crc32(blob) ^ (self.crop_seed & 0xFFFFFFFF)) & 0x7FFFFFFF
+        )
+
     def read_with_gas(self, cif_path: str, gas: str) -> Dict:
         dd = self.cif_parser(cif_path)
         feat = coords2unimol_mof(
             dd["atoms"], dd["coordinates"], self.dictionary,
-            max_atoms=self.max_atoms, crop_rng=self.crop_rng,
+            max_atoms=self.max_atoms,
+            crop_rng=self._structure_crop_rng(dd["atoms"], dd["coordinates"]),
         )
         feat.update(self.gas_parser(gas))
         return feat

@@ -15,6 +15,7 @@ host feeds its local shard via make_array_from_process_local_data.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -66,21 +67,29 @@ def local_batch_to_global(mesh: Mesh, batch: dict) -> dict:
 # (Trainer at fit/predict entry, MolServe at dispatch, the dryrun) and read
 # by the kernel wrappers at trace time; a size-1 mesh registers as None so
 # the single-chip path is byte-identical to the unmeshed one.
+#
+# The registry is THREAD-LOCAL: jit tracing happens on the thread that
+# dispatches, and MolServe dispatches from HTTP-handler/DynamicBatcher
+# threads while a Trainer may be fitting on the main thread — a global
+# would let one clobber the other's mesh between registration and trace.
+# Each owner re-asserts its mesh at every entry point on its own thread,
+# so per-thread state is exactly "the mesh of the component driving this
+# thread".  A thread that never registered reads None (unmeshed kernels) —
+# the same behavior as before the registry existed.
 
-_KERNEL_MESH: Optional[Mesh] = None
+_TLS = threading.local()
 
 
 def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
-    """Register the mesh the fused Pallas kernels should shard over
-    (None, or a mesh of total size 1, disables kernel sharding)."""
-    global _KERNEL_MESH
+    """Register the mesh the fused Pallas kernels should shard over on THIS
+    thread (None, or a mesh of total size 1, disables kernel sharding)."""
     if mesh is not None and mesh.size == 1:
         mesh = None
-    _KERNEL_MESH = mesh
+    _TLS.mesh = mesh
 
 
 def get_kernel_mesh() -> Optional[Mesh]:
-    return _KERNEL_MESH
+    return getattr(_TLS, "mesh", None)
 
 
 class kernel_mesh_scope:
@@ -90,7 +99,7 @@ class kernel_mesh_scope:
         self.mesh = mesh
 
     def __enter__(self):
-        self.prev = _KERNEL_MESH
+        self.prev = get_kernel_mesh()
         set_kernel_mesh(self.mesh)
         return self.mesh
 

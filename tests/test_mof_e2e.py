@@ -75,6 +75,34 @@ def mof_csvs(tmp_path_factory):
     return str(train), str(val), str(tmp)
 
 
+class TestCropDeterminism:
+    def test_crop_independent_of_read_order(self, tmp_path):
+        """A >max_atoms crystal must featurize identically at any dataset
+        position: the crop RNG is seeded from the structure content, not a
+        shared stream that advances with every previously-read row."""
+        from mmdti_tpu.chem.mof import MOFReader
+
+        big = _write_cif(str(tmp_path / "big.cif"), seed=0, n_atoms=40)
+        small = _write_cif(str(tmp_path / "small.cif"), seed=1, n_atoms=6)
+        r1 = MOFReader(max_atoms=16, seed=42)
+        first = r1.read_with_gas(big, "CO2")
+        r2 = MOFReader(max_atoms=16, seed=42)
+        r2.read_with_gas(small, "CH4")  # advance any hypothetical stream
+        after_other = r2.read_with_gas(big, "CO2")
+        np.testing.assert_array_equal(
+            first["src_tokens"], after_other["src_tokens"]
+        )
+        np.testing.assert_array_equal(
+            first["src_coord"], after_other["src_coord"]
+        )
+        # different reader seed -> different crop (the knob still works)
+        r3 = MOFReader(max_atoms=16, seed=7)
+        other_seed = r3.read_with_gas(big, "CO2")
+        assert not np.array_equal(
+            first["src_tokens"], other_seed["src_tokens"]
+        ) or not np.array_equal(first["src_coord"], other_seed["src_coord"])
+
+
 class TestMOFModelForward:
     def test_forward_and_grads(self):
         import jax
