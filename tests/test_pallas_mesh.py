@@ -277,6 +277,34 @@ class TestDropoutDecorrelation:
         assert all(diffs), "per-shard dropout masks are correlated"
 
 
+class TestRegistryThreadIsolation:
+    def test_mesh_does_not_leak_across_threads(self):
+        """The registry is thread-local: a mesh registered on one thread
+        (e.g. a serving dispatch thread) must not reroute kernels traced on
+        another (e.g. a Trainer's fit thread) — each owner re-asserts its
+        own mesh on its own thread."""
+        import threading
+
+        from mmdti_tpu.parallel.mesh import get_kernel_mesh, set_kernel_mesh
+
+        set_kernel_mesh(_mesh((8, 1)))
+        seen = {}
+
+        def other():
+            seen["initial"] = get_kernel_mesh()
+            set_kernel_mesh(_mesh((4, 2)))
+            seen["own"] = get_kernel_mesh()
+
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+        assert seen["initial"] is None            # no leak in
+        assert seen["own"] is not None            # its own registration works
+        assert get_kernel_mesh() is not None      # no leak back out
+        assert dict(get_kernel_mesh().shape) == {"data": 8, "model": 1}
+        set_kernel_mesh(None)
+
+
 class TestMeshedModelStep:
     """The whole model under mesh + Pallas: parity with the meshed XLA path
     and the no-pair-all-gather HLO guarantee (VERDICT r3 item 1a/1b)."""
