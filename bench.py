@@ -192,8 +192,17 @@ def main():
     float(c)
     infer_s = (time.perf_counter() - t0) / STEPS
 
-    reg_pct, prior_ms, prior_file = _regression_vs_last(
-        step_s * 1e3, os.path.dirname(os.path.abspath(__file__))
+    # the recorded BENCH_r*.json numbers are pinned at the default operating
+    # point (B=32, N=L=64); comparing an overridden configuration against
+    # them would fire a false PERF_REGRESSION_WARNING (e.g. B=64's 36.7ms
+    # step is the EXPECTED number for that batch, not a regression)
+    at_default = (BATCH, N_ATOMS, N_SMILES) == (32, 64, 64)
+    reg_pct, prior_ms, prior_file = (
+        _regression_vs_last(
+            step_s * 1e3, os.path.dirname(os.path.abspath(__file__))
+        )
+        if at_default
+        else (None, None, None)
     )
     reg_fields = {}
     if reg_pct is not None:
