@@ -32,7 +32,9 @@ class DynamicBatcher:
     a single-molecule dispatch and a bucket-64 dispatch cost nearly the same
     device time.
 
-    Two threads form a pipeline over MolServe's staged forward:
+    Two threads form a pipeline over MolServe's staged forward (plus a
+    retry worker that resolves failed batches per rider off both, so slow
+    sequential retries never block healthy traffic):
 
     * the **dispatch loop** gathers riders, then runs the HOST stage
       (featurize + collate + async jax dispatch, `_dispatch_forward`) and
@@ -60,6 +62,11 @@ class DynamicBatcher:
         self.max_pending = int(max_pending)
         self._q: queue.Queue = queue.Queue()
         self._cq: queue.Queue = queue.Queue(maxsize=max(1, int(pipeline_depth)))
+        # failed-batch riders retry on their own worker so their sequential
+        # full predicts (featurize + dispatch + blocking pull each) never
+        # head-of-line block the completion thread's pulls of healthy
+        # batches, nor back-pressure the dispatch loop through _cq
+        self._rq: queue.Queue = queue.Queue()
         self.batches_run = 0
         self.requests_served = 0
         self._stats_lock = threading.Lock()
@@ -68,16 +75,20 @@ class DynamicBatcher:
         self._cthread = threading.Thread(
             target=self._completion_loop, daemon=True,
             name="mmdti-batcher-complete")
+        self._rthread = threading.Thread(
+            target=self._retry_loop, daemon=True, name="mmdti-batcher-retry")
         self._thread.start()
         self._cthread.start()
+        self._rthread.start()
 
     def stop(self):
-        """Stop both pipeline threads (idempotent)."""
+        """Stop the pipeline + retry threads (idempotent)."""
         self._q.put(self._STOP)
 
     @property
     def _alive(self) -> bool:
-        return self._thread.is_alive() and self._cthread.is_alive()
+        return (self._thread.is_alive() and self._cthread.is_alive()
+                and self._rthread.is_alive())
 
     def submit(self, smiles: List[str]) -> Dict[str, Any]:
         """Blocking: returns this request's rows of the coalesced batch.
@@ -138,6 +149,7 @@ class DynamicBatcher:
             first = self._q.get()
             if first is self._STOP:
                 self._cq.put(self._STOP)  # completion drains, then exits
+                self._rq.put(self._STOP)  # retry worker too
                 return
             pending = [first]
             total = len(first[0])
@@ -160,11 +172,11 @@ class DynamicBatcher:
             try:
                 chunks, feats = self.serve._dispatch_forward(all_smiles)
             except Exception:
-                # host-stage failure (featurizer): hand the per-rider
-                # retries to the completion thread — they include blocking
-                # device pulls, and running them here would stall the
-                # dispatch loop (a retrying client with one bad SMILES
-                # would collapse the whole pipeline to sequential predicts)
+                # host-stage failure (featurizer): hand the batch to the
+                # retry worker (via the completion thread, preserving batch
+                # ordering of the stats) — per-rider retries include
+                # blocking device pulls, and running them here would stall
+                # the dispatch loop
                 self._cq.put((pending, None, None, t0))
                 continue
             self._cq.put((pending, chunks, feats, t0))
@@ -185,16 +197,26 @@ class DynamicBatcher:
                 return
             pending, chunks, feats, t0 = item
             self._count_batch(len(pending))
+            if chunks is None:  # host-stage failure: per-rider isolation
+                self._rq.put(pending)
+                continue
             try:
-                if chunks is None:  # host-stage failure: per-rider isolation
-                    raise RuntimeError("host-stage featurization failed")
                 out = self.serve._finalize_forward(chunks, feats, t0)
                 self._distribute(pending, out)
             except Exception:
-                try:
-                    self._retry_each_alone(pending)
-                except Exception as e:  # belt-and-braces: never die mid-loop
-                    for _, done, holder in pending:
-                        if not done.is_set():
-                            holder["error"] = e
-                            done.set()
+                self._rq.put(pending)  # device-stage failure: same isolation
+
+    def _retry_loop(self):
+        """Retry worker: failed batches resolve per rider here, off both
+        pipeline threads (retries are slow sequential predicts)."""
+        while True:
+            pending = self._rq.get()
+            if pending is self._STOP:
+                return
+            try:
+                self._retry_each_alone(pending)
+            except Exception as e:  # belt-and-braces: never die mid-loop
+                for _, done, holder in pending:
+                    if not done.is_set():
+                        holder["error"] = e
+                        done.set()

@@ -111,9 +111,7 @@ class DeviceConformerBatcher:
         Returns original_index -> refined [n, 3] float32 coords."""
         import jax
 
-        from mmdti_tpu.ops.device_refine import refine_conformers
-
-        from mmdti_tpu.ops.device_refine import pad_counts
+        from mmdti_tpu.ops.device_refine import pad_counts, refine_conformers
 
         out: Dict[int, np.ndarray] = {}
         for bucket, items in sorted(prepared.items()):

@@ -245,10 +245,16 @@ class MOFReader:
 
     def read_with_gas(self, cif_path: str, gas: str) -> Dict:
         dd = self.cif_parser(cif_path)
+        # the content hash + RandomState only matter when the crop branch
+        # will actually run — skip the per-row O(n) work otherwise
+        crop_rng = (
+            self._structure_crop_rng(dd["atoms"], dd["coordinates"])
+            if len(dd["atoms"]) > self.max_atoms
+            else None
+        )
         feat = coords2unimol_mof(
             dd["atoms"], dd["coordinates"], self.dictionary,
-            max_atoms=self.max_atoms,
-            crop_rng=self._structure_crop_rng(dd["atoms"], dd["coordinates"]),
+            max_atoms=self.max_atoms, crop_rng=crop_rng,
         )
         feat.update(self.gas_parser(gas))
         return feat

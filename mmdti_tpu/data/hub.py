@@ -38,6 +38,12 @@ def _featurizer_fingerprint(params: Dict[str, Any]) -> Dict[str, Any]:
     d.add_symbol("[MASK]", is_special=True)
     provider = _resolve_provider(params.get("coord_provider", "auto"))
     extra = {}
+    if params.get("data_type", "molecule") == "mof":
+        # MOF-only featurization revision: rev 2 = content-seeded
+        # >max_atoms crop (a >max_atoms crystal crops differently than the
+        # old shared-stream RNG for the same knobs, so pre-change MOF
+        # caches must regenerate; molecule caches are untouched)
+        extra["mof_rev"] = 2
     if provider == "device":
         # the device provider's per-molecule host/device size routing: a
         # different threshold re-routes molecules across refiners.  Only

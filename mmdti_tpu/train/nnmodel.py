@@ -223,19 +223,21 @@ class NNModel:
             batch=_bs,
         )
         if pallas_engaged:
-            # the remat decision tracks PER-CHIP HBM: under a data-parallel
-            # mesh each chip holds batch/dp rows of the pair chain, so the
-            # global batch would overestimate residency by the DP degree and
-            # flip remat on (a measured ~20% step cost, docs/PERF.md) on
-            # runs whose per-chip window is nowhere near the contour
-            _dp = 1
+            # the remat decision tracks PER-CHIP HBM: under the mesh each
+            # chip holds batch/dp rows AND heads/mp heads of the pair-logit
+            # chain, so global counts would overestimate residency by the
+            # mesh size and flip remat on (a measured ~20% step cost,
+            # docs/PERF.md) on runs whose per-chip window is fine
+            _dp = _mp = 1
             _mesh = getattr(self.trainer, "mesh", None)
             if _mesh is not None:
-                from mmdti_tpu.parallel.mesh import DATA_AXIS
+                from mmdti_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
                 _dp = int(_mesh.shape[DATA_AXIS])
+                _mp = int(_mesh.shape[MODEL_AXIS])
             remat_threshold = pallas_remat_threshold(
-                max(1, _bs // _dp), _probe_cfg.attention_heads,
+                max(1, _bs // _dp),
+                max(1, _probe_cfg.attention_heads // _mp),
                 _probe_cfg.encoder_layers,
             )
         else:

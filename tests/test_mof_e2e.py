@@ -75,6 +75,19 @@ def mof_csvs(tmp_path_factory):
     return str(train), str(val), str(tmp)
 
 
+class TestMOFFingerprint:
+    def test_mof_rev_rekeys_mof_caches_only(self):
+        """The content-seeded crop changed MOF featurization output for the
+        same knobs — MOF caches must re-key (mof_rev), molecule caches must
+        not change."""
+        from mmdti_tpu.data.hub import _featurizer_fingerprint
+
+        fp_mof = _featurizer_fingerprint({"data_type": "mof"})
+        fp_mol = _featurizer_fingerprint({"data_type": "molecule"})
+        assert "mof_rev" in fp_mof and fp_mof["mof_rev"] >= 2
+        assert "mof_rev" not in fp_mol
+
+
 class TestCropDeterminism:
     def test_crop_independent_of_read_order(self, tmp_path):
         """A >max_atoms crystal must featurize identically at any dataset
