@@ -21,13 +21,19 @@ from mmdti_tpu import MolPredict, MolTrain  # noqa: E402
 from mmdti_tpu.splits import random_scaffold_split  # noqa: E402
 
 
+MULTILABEL_COLS = ["t0", "t1", "t2"]
+
+
 def make_synthetic_dataset(
     path: str, n: int = 400, seed: int = 0, task: str = "regression"
 ) -> None:
     """Solubility-like dataset: diverse scaffolds, target correlated with
     size/polarity so the model has signal to learn.  task='classification'
     binarizes the latent property at its median (a BBBP-shaped balanced
-    binary label) for the ROC-AUC protocol."""
+    binary label); 'multiclass' bins it into terciles (3-way softmax CE);
+    'multilabel_classification' emits three binary columns from distinct
+    structural properties with ~10% NaNs in one column, exercising the
+    NaN-masked loss/metric path (reference models/loss.py:180-231)."""
     from mmdti_tpu.chem import parse_smiles
 
     scaffolds = [
@@ -44,12 +50,58 @@ def make_synthetic_dataset(
         mol = parse_smiles(smi)
         n_heavy = mol.num_atoms()
         n_hetero = sum(1 for a in mol.atoms if a.symbol not in ("C", "H"))
+        n_arom = sum(1 for a in mol.atoms if a.aromatic)
         y = -0.2 * n_heavy + 0.8 * n_hetero + rng.randn() * 0.3
-        rows.append((smi, y))
-    df = pd.DataFrame(rows, columns=["smiles", "measured"])
-    if task in ("classification", "multilabel_classification"):
+        rows.append((smi, y, n_heavy, n_hetero + rng.randn() * 0.3,
+                     n_arom + rng.randn() * 0.3))
+    df = pd.DataFrame(rows, columns=["smiles", "measured", "_sz", "_het", "_ar"])
+    if task == "classification":
         df["measured"] = (df["measured"] > df["measured"].median()).astype(int)
+    elif task == "multiclass":
+        df["measured"] = pd.qcut(df["measured"], 3, labels=False).astype(int)
+    elif task == "multilabel_classification":
+        df["t0"] = (df["_sz"] > df["_sz"].median()).astype(float)
+        df["t1"] = (df["_het"] > df["_het"].median()).astype(float)
+        df["t2"] = (df["_ar"] > df["_ar"].median()).astype(float)
+        # ~10% missing labels in one column: the NaN-masked loss/metrics path
+        df.loc[df.sample(frac=0.1, random_state=seed).index, "t2"] = np.nan
+        df = df.drop(columns=["measured"])
+    df = df.drop(columns=["_sz", "_het", "_ar"])
     df.to_csv(path, index=False)
+
+
+def _score_task(task, truth, test_pred, idx):
+    """Protocol test metric: RMSE (regression), ROC-AUC (classification),
+    macro one-vs-rest AUC (multiclass probs), NaN-masked column-mean AUC
+    (multilabel)."""
+    from sklearn.metrics import roc_auc_score
+
+    if task == "regression":
+        return float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
+    if task == "multiclass":
+        if len(np.unique(truth)) < test_pred.shape[1]:
+            print(f"seed {idx}: test split misses a class, macro AUC NaN")
+            return float("nan")
+        return float(roc_auc_score(
+            truth.reshape(-1), test_pred, multi_class="ovr", average="macro"
+        ))
+    if task == "multilabel_classification":
+        aucs = []
+        for j in range(truth.shape[1]):
+            m = ~np.isnan(truth[:, j])
+            if len(np.unique(truth[m, j])) < 2:
+                continue  # column single-class in this split: skip
+            aucs.append(roc_auc_score(truth[m, j], test_pred[m, j]))
+        if not aucs:
+            print(f"seed {idx}: all label columns single-class, AUC NaN")
+            return float("nan")
+        return float(np.mean(aucs))
+    if len(np.unique(truth)) < 2:
+        # a scaffold test split can come out single-class on real data; AUC
+        # is undefined there — score NaN instead of killing the other seeds
+        print(f"seed {idx}: test split is single-class, AUC undefined (NaN)")
+        return float("nan")
+    return float(roc_auc_score(truth.reshape(-1), test_pred.reshape(-1)))
 
 
 def run_seed(
@@ -60,8 +112,8 @@ def run_seed(
 ) -> float:
     """One protocol seed: scaffold split -> MolTrain -> MolPredict -> metric
     (reference /root/reference/finetune.py:26-79 body).  Regression scores
-    test RMSE (ESOL protocol); classification scores test ROC-AUC (the BBBP
-    protocol shape — FDS/LDS weighting are regression-only and stay off)."""
+    test RMSE (ESOL protocol); classification tasks score ROC-AUC variants
+    (FDS/LDS weighting are regression-only and stay off)."""
     train_df, valid_df, test_df = random_scaffold_split(
         data_path, random_seed=idx, ratio_test=0.1, ration_valid=0.1
     )
@@ -72,11 +124,19 @@ def run_seed(
         paths[name] = p
 
     regression = task == "regression"
-    task_kwargs = dict(
-        use_weight=True, all_weight=False, fds=True, fds_num=fds_num,
-        fds_raw_path=paths["train"], fds_col_data=target_col,
-        target_anomaly_check="filter", metrics="mse",
-    ) if regression else dict(metrics="auc")
+    target_cols = (
+        MULTILABEL_COLS if task == "multilabel_classification" else [target_col]
+    )
+    if regression:
+        task_kwargs = dict(
+            use_weight=True, all_weight=False, fds=True, fds_num=fds_num,
+            fds_raw_path=paths["train"], fds_col_data=target_col,
+            target_anomaly_check="filter", metrics="mse",
+        )
+    elif task == "multiclass":
+        task_kwargs = dict(metrics="log_loss")
+    else:
+        task_kwargs = dict(metrics="auc")
     save_path = os.path.join(workdir, f"exp_seed_{idx}")
     clf = MolTrain(
         task=task,
@@ -86,7 +146,7 @@ def run_seed(
         early_stopping=early_stopping,
         smiles_col=smiles_col,
         save_path=save_path,
-        target_cols=[target_col],
+        target_cols=target_cols,
         model_name="mm_model",
         using_infonce=True,
         using_ct=True,
@@ -102,26 +162,23 @@ def run_seed(
 
     predictor = MolPredict(load_model=save_path)
     test_pred = predictor.predict(paths["test"])
-    truth = pd.read_csv(paths["test"])[target_col].values
-    if regression:
-        return float(np.sqrt(np.mean((truth - test_pred.reshape(-1)) ** 2)))
-    if len(np.unique(truth)) < 2:
-        # a scaffold test split can come out single-class on real data; AUC
-        # is undefined there — score NaN instead of killing the other seeds
-        print(f"seed {idx}: test split is single-class, AUC undefined (NaN)")
-        return float("nan")
-    from sklearn.metrics import roc_auc_score
-
-    return float(roc_auc_score(truth, test_pred.reshape(-1)))
+    truth = pd.read_csv(paths["test"])[target_cols].values
+    if task in ("regression", "classification"):
+        truth = truth.reshape(-1)
+    return _score_task(task, truth, np.asarray(test_pred), idx)
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", default=None, help="CSV with smiles + target column")
     ap.add_argument("--task", default="regression",
-                    choices=["regression", "classification"],
+                    choices=["regression", "classification", "multiclass",
+                             "multilabel_classification"],
                     help="protocol metric: regression=RMSE (ESOL shape), "
-                         "classification=ROC-AUC (BBBP shape)")
+                         "classification=ROC-AUC (BBBP shape), "
+                         "multiclass=macro OvR AUC (3-way terciles), "
+                         "multilabel_classification=NaN-masked column-mean "
+                         "AUC (3 binary columns)")
     ap.add_argument("--target-col", default="measured")
     ap.add_argument("--smiles-col", default="smiles")
     ap.add_argument("--seeds", type=int, default=5)

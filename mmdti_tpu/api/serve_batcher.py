@@ -70,6 +70,12 @@ class DynamicBatcher:
         self.batches_run = 0
         self.requests_served = 0
         self._stats_lock = threading.Lock()
+        # total in-flight riders (admitted minus resolved) — the shed gate.
+        # _q.qsize() alone undercounts: riders parked in the completion or
+        # retry queues still block HTTP threads, so under a persistently
+        # failing featurizer blocked threads could grow past max_pending
+        # while submit kept admitting (ADVICE r4).
+        self._inflight = 0
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name="mmdti-batcher-dispatch")
         self._cthread = threading.Thread(
@@ -100,11 +106,13 @@ class DynamicBatcher:
         """
         if not smiles:  # reject here — must not fail a whole shared batch
             raise ValueError("empty SMILES request")
-        if self._q.qsize() >= self.max_pending:
-            raise OverloadedError(
-                f"{self._q.qsize()} requests already queued "
-                f"(max_pending={self.max_pending})"
-            )
+        with self._stats_lock:
+            if self._inflight >= self.max_pending:
+                raise OverloadedError(
+                    f"{self._inflight} requests already in flight "
+                    f"(max_pending={self.max_pending})"
+                )
+            self._inflight += 1
         done = threading.Event()
         holder: Dict[str, Any] = {}
         self._q.put((list(smiles), done, holder))
@@ -112,10 +120,18 @@ class DynamicBatcher:
         # fatal error), fail loudly instead of blocking this client forever
         while not done.wait(timeout=1.0):
             if not self._alive:
+                with self._stats_lock:  # release the shed-gate slot
+                    self._inflight -= 1
                 raise RuntimeError("DynamicBatcher is not running")
         if "error" in holder:
             raise holder["error"]
         return holder["out"]
+
+    def _resolve(self, done):
+        """Mark one rider resolved: release its in-flight slot, then wake it."""
+        with self._stats_lock:
+            self._inflight -= 1
+        done.set()
 
     def _retry_each_alone(self, pending):
         # blast-radius isolation: one rider's bad molecule (e.g. an
@@ -127,7 +143,7 @@ class DynamicBatcher:
                 holder["out"] = self.serve.predict(list(smi))
             except Exception as e:
                 holder["error"] = e
-            done.set()
+            self._resolve(done)
 
     def _distribute(self, pending, out):
         row = 0
@@ -141,7 +157,7 @@ class DynamicBatcher:
                 "valid": out["valid"][row : row + n],
             }
             row += n
-            done.set()
+            self._resolve(done)
 
     def _loop(self):
         """Dispatch loop: gather riders, run the host stage, hand off."""
@@ -219,4 +235,4 @@ class DynamicBatcher:
                 for _, done, holder in pending:
                     if not done.is_set():
                         holder["error"] = e
-                        done.set()
+                        self._resolve(done)

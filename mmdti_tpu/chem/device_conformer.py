@@ -202,10 +202,30 @@ def device_smi2coords_batch(
             )
 
     if prepared:
-        refined = DeviceConformerBatcher(iters=iters).refine_groups(prepared)
-        for bucket_items in prepared.values():
-            for orig_i, (atoms, *_) in bucket_items:
-                results[orig_i] = (atoms, refined[orig_i])
+        try:
+            refined = DeviceConformerBatcher(iters=iters).refine_groups(prepared)
+        except Exception:
+            # a whole-batch device failure (transient tunnel/device error)
+            # must not fail every co-batched molecule at once — degrade each
+            # molecule independently through the host ladder, mirroring the
+            # per-molecule fallback semantics of builtin_smi2coords
+            # (ADVICE r4)
+            logger.exception(
+                "device conformer refinement failed for a %d-group batch; "
+                "falling back to the host refiner per molecule",
+                len(prepared),
+            )
+            from mmdti_tpu.chem.conformer import builtin_smi2coords
+
+            for bucket_items in prepared.values():
+                for orig_i, _item in bucket_items:
+                    results[orig_i] = builtin_smi2coords(
+                        smiles_list[orig_i], seed=seed, remove_hs=False
+                    )
+        else:
+            for bucket_items in prepared.values():
+                for orig_i, (atoms, *_) in bucket_items:
+                    results[orig_i] = (atoms, refined[orig_i])
 
     final: List[Tuple[List[str], np.ndarray]] = []
     for res in results:

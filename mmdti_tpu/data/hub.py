@@ -193,7 +193,10 @@ class DataHub:
                 target = scaler.transform(target)
             self.data["target"] = np.asarray(target, dtype=np.float32)
         elif task == "multilabel_classification":
-            self.data["target"] = np.array(raw_target, dtype=np.int32).reshape(-1, num_classes)
+            # float32, NaN-preserving: missing labels mask out of the
+            # NaN-maskable losses and the column-averaged metrics rather
+            # than poisoning (or crashing) an integer cast
+            self.data["target"] = np.array(raw_target, dtype=np.float32).reshape(-1, num_classes)
         elif task == "repr":
             self.data["target"] = raw_target
         else:

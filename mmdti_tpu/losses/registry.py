@@ -66,4 +66,8 @@ def resolve_output_dim(task: str, num_classes=None, multiclass_cnt=None) -> int:
 
 
 def target_is_integer(task: str) -> bool:
-    return task in ("classification", "multiclass", "multilabel_classification")
+    """Whether device labels are int32.  multilabel_classification stays
+    float32: its losses are NaN-maskable (bce/ghm/focal test jnp.isnan, the
+    reference's missing-label semantics, models/loss.py:180-231) and an int
+    cast would destroy the NaN mask — or crash outright on NaN labels."""
+    return task in ("classification", "multiclass")

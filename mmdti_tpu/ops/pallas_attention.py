@@ -395,6 +395,12 @@ def _mesh_local_counts(num_heads: int, batch: Optional[int]):
     mesh, dp, mp = _kernel_mesh_axes()
     if mesh is None:
         return num_heads, batch
+    if batch is None and dp > 1:
+        # a supported() gate called without batch= cannot prove the real
+        # batch divides the data axis; report unsupported so legacy/external
+        # callers take the documented XLA fallback instead of hitting the
+        # wrapper's trace-time ValueError (ADVICE r4)
+        return None
     if batch is not None and batch % dp != 0:
         return None
     if num_heads % mp != 0:

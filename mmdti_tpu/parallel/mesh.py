@@ -80,10 +80,18 @@ def local_batch_to_global(mesh: Mesh, batch: dict) -> dict:
 _TLS = threading.local()
 
 
-def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
+def set_kernel_mesh(mesh: Optional[Mesh], force: bool = False) -> None:
     """Register the mesh the fused Pallas kernels should shard over on THIS
-    thread (None, or a mesh of total size 1, disables kernel sharding)."""
-    if mesh is not None and mesh.size == 1:
+    thread (None, or a mesh of total size 1, disables kernel sharding).
+
+    force=True keeps a size-1 mesh registered, routing the kernels through
+    jax.shard_map even on a single chip.  Production never wants this (the
+    unmeshed path is byte-identical and skips the shard_map plumbing), but
+    it is the only way one real TPU can execute the compiled-Mosaic-under-
+    shard_map lowering that multi-chip runs use —
+    scripts/shardmap_chip_probe.py + tests/test_pallas_mesh.py use it to
+    close that composition gap (VERDICT r4 #3)."""
+    if mesh is not None and mesh.size == 1 and not force:
         mesh = None
     _TLS.mesh = mesh
 

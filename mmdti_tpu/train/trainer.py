@@ -47,7 +47,7 @@ from mmdti_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
-from mmdti_tpu.train.optim import make_optimizer
+from mmdti_tpu.train.optim import make_fused_apply, make_optimizer
 from mmdti_tpu.train.profiler import StepTimer
 from mmdti_tpu.utils.logger import logger
 from mmdti_tpu.utils.metrics import Metrics
@@ -417,8 +417,10 @@ class Trainer:
         # register the mesh for the fused Pallas kernels (they self-wrap in
         # shard_map over it — pallas_call has no GSPMD rule; see
         # ops/pallas_attention.py).  Re-asserted at fit/predict entry because
-        # the registry is process-global and another Trainer/MolServe may
-        # have been constructed in between.
+        # the registry is THREAD-LOCAL (jit traces on the dispatching
+        # thread): another Trainer/MolServe on this thread may have
+        # re-registered in between, and any worker thread that dispatches
+        # steps must re-register for itself (as serve_api does).
         self._register_kernel_mesh()
         # every batch (train via drop_last, val/predict via _pad_to_batch)
         # has exactly batch_size rows, and those rows shard over the data
@@ -623,10 +625,17 @@ class Trainer:
         use_weight: bool,
         fds_bucket=(0.0, 1.0),
         stateful_loss=None,
+        fused_apply=None,
     ):
         """stateful_loss: optional fn(logits, labels, state) -> (loss, state)
         replacing loss_fn — used for GHM's EMA bin counts (the reference keeps
-        them as module state across steps, models/loss.py:81-85)."""
+        them as module state across steps, models/loss.py:81-85).
+
+        fused_apply: optional optim.make_fused_apply function replacing
+        tx.update + the separate ``p + u`` tree.map — bit-identical under jit
+        (tests/test_train.py::TestFusedAdamApply) but one fusion per leaf:
+        the updates tree (296 MB at flagship scale) and the 2.48 ms/step
+        params re-stream it caused (round-5 xprof) never exist."""
         ct_fn = CT_REGISTRY.get(self.task) if use_ct else None
         alpha, beta, ct_w = self.alpha, self.beta, self.ct_w
         steps_per_call = self.steps_per_call
@@ -669,8 +678,11 @@ class Trainer:
             (_, (metrics, loss_state)), grads = grad_fn(
                 params, fds_state, loss_state, feats, labels, weights, epoch, rng
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            if fused_apply is not None:
+                params, opt_state = fused_apply(grads, opt_state, params)
+            else:
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss_state, metrics
 
         train_step = partial(jax.jit, donate_argnums=(0, 1))(one_step)
@@ -841,11 +853,21 @@ class Trainer:
                 self.learning_rate, num_updates, self.warmup_ratio, self.max_norm,
                 frozen_mask=frozen_mask, mu_dtype=self.mu_dtype,
             )
+            fused_apply = None
             if self.accumulate_steps > 1:
                 tx_ = optax.MultiSteps(tx_, every_k_schedule=self.accumulate_steps)
+            else:
+                # fused clip+Adam+apply (same init/state layout as tx_;
+                # bit-identical under jit) — MultiSteps keeps the generic
+                # update path since its state wraps the chain's
+                fused_apply = make_fused_apply(
+                    self.learning_rate, num_updates, self.warmup_ratio,
+                    self.max_norm, frozen_mask=frozen_mask,
+                    mu_dtype=self.mu_dtype,
+                )
             steps = self.build_train_step(
                 model, tx_, loss_fn, use_infonce, use_ct, use_weight, fds_bucket,
-                stateful_loss=stateful_loss,
+                stateful_loss=stateful_loss, fused_apply=fused_apply,
             )
             return (tx_, *steps)
 
@@ -1330,12 +1352,23 @@ class Trainer:
         # bit-identical to the checkpoint (save_checkpoint serializes exactly
         # these arrays).
         if jax.process_count() > 1:
-            y_preds, _, _ = self.predict(
+            # skip_metrics=False: preds/losses are replicated for the host
+            # pull (_replicate_for_host_pull), so every process computes the
+            # identical best-epoch metrics — DCN runs report them like
+            # single-host runs do (ADVICE r4); only the checkpoint-RELOAD
+            # validation stays skipped (shared FS not guaranteed, documented
+            # above).
+            y_preds, _, metric_score = self.predict(
                 model, best_params, valid_dataset, loss_fn, activation_fn,
                 dump_dir, fold, target_scaler, collate_fn, load_model=False,
-                skip_metrics=True, eval_step=eval_step, loader=valid_loader,
+                eval_step=eval_step, loader=valid_loader,
                 device_data=val_device_data,
             )
+            if jax.process_index() == 0 and metric_score:
+                logger.info(
+                    "final best-epoch metrics (multi-host, in-memory params): %s",
+                    {k: float(v) for k, v in metric_score.items()},
+                )
             return y_preds
         y_preds, _, _ = self.predict(
             model, params, valid_dataset, loss_fn, activation_fn,

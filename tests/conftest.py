@@ -64,9 +64,10 @@ SMALL_ARCH = dict(
 
 @pytest.fixture(autouse=True)
 def _isolate_kernel_mesh():
-    """The fused-kernel mesh registry is process-global (set by every Trainer/
-    MolServe construction); clear it around each test so a mesh registered by
-    one test can never reroute another test's kernels through shard_map."""
+    """The fused-kernel mesh registry is THREAD-LOCAL (set by every Trainer/
+    MolServe construction on its dispatching thread); clear this test
+    thread's slot around each test so a mesh registered by one test can
+    never reroute another test's kernels through shard_map."""
     from mmdti_tpu.parallel.mesh import set_kernel_mesh
 
     set_kernel_mesh(None)

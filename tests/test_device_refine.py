@@ -85,6 +85,16 @@ class TestRefineParity:
         assert e_dev < e_init * 0.2, (e_dev, e_init)
 
 
+# The DOCUMENTED batch-composition-independence bound (CLAUDE.md/PERF.md):
+# per-molecule refined coords depend on co-riders only through XLA's
+# batched-matmul codegen, accumulating ~1e-6 A of ULP drift over 300
+# iterations.  Pinned at 10x the documented drift so codegen changes that
+# widen it materially (e.g. to 1e-3 A, which would start to matter
+# physically and poison the featurization cache) fail loudly here rather
+# than pass under a slack tolerance (VERDICT r4).
+BATCH_COMPOSITION_ATOL = 1e-5
+
+
 class TestDeterminism:
     def test_coords_independent_of_co_batched_molecules(self):
         """Same bucket, different batch composition: coords agree to float
@@ -94,7 +104,8 @@ class TestDeterminism:
         physically meaningless, asserted bounded here)."""
         alone, _ = _device_batch(["CCO"])
         pair, _ = _device_batch(["CCO", "CCN"])  # both land in bucket 16
-        np.testing.assert_allclose(alone[0], pair[0], atol=1e-4)
+        np.testing.assert_allclose(alone[0], pair[0],
+                                   atol=BATCH_COMPOSITION_ATOL)
 
     def test_single_process_matches_transform(self):
         gen = ConformerGen(coord_provider="device", seed=42)
@@ -102,7 +113,8 @@ class TestDeterminism:
         via_single = gen.single_process("CCO")
         # same ULP-drift bound as co-batching (the batch count differs)
         np.testing.assert_allclose(
-            via_batch[0]["src_coord"], via_single["src_coord"], atol=1e-4
+            via_batch[0]["src_coord"], via_single["src_coord"],
+            atol=BATCH_COMPOSITION_ATOL,
         )
         np.testing.assert_array_equal(
             via_batch[0]["src_tokens"], via_single["src_tokens"]

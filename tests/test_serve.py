@@ -572,8 +572,9 @@ class TestDynamicBatching:
         batcher.stop()
 
     def test_overload_shedding(self, server, monkeypatch):
-        """Past max_pending queued riders, submit sheds load with
-        OverloadedError instead of queueing unboundedly."""
+        """Past max_pending IN-FLIGHT riders (queued, dispatched, or parked
+        in retry — not just _q depth, ADVICE r4), submit sheds load with
+        OverloadedError instead of admitting unboundedly."""
         import time as _t
 
         from mmdti_tpu.api.serve_api import DynamicBatcher, OverloadedError
@@ -582,30 +583,38 @@ class TestDynamicBatching:
         orig = type(server)._dispatch_forward
 
         def stalled(self, smiles):
-            gate.wait(60)  # hold the dispatch loop so the queue backs up
+            gate.wait(60)  # hold the dispatch loop so riders back up
             return orig(self, smiles)
 
         monkeypatch.setattr(type(server), "_dispatch_forward", stalled)
-        # max_batch=1: the stalled dispatch holds exactly one rider, the
-        # rest back up in the queue instead of coalescing into its batch
+        # max_batch=1: the stalled dispatch holds exactly one rider; a second
+        # waits in the queue — both count against max_pending=2 (the held
+        # rider no longer hides from the gate the way the old qsize check
+        # allowed)
         batcher = DynamicBatcher(server, window_ms=1.0, max_pending=2,
                                  max_batch=1)
-        riders = [
-            threading.Thread(target=lambda: batcher.submit(["CCO"]))
-            for _ in range(4)
-        ]
+        results = []
+        def ride():
+            try:
+                batcher.submit(["CCO"])
+                results.append("ok")
+            except OverloadedError:
+                results.append("shed")
+        riders = [threading.Thread(target=ride) for _ in range(2)]
         for t in riders:
             t.start()
         deadline = _t.monotonic() + 30.0
-        while batcher._q.qsize() < 2 and _t.monotonic() < deadline:
+        while batcher._inflight < 2 and _t.monotonic() < deadline:
             _t.sleep(0.01)
-        assert batcher._q.qsize() >= 2, "queue never backed up"
+        assert batcher._inflight == 2, "riders never backed up"
         with pytest.raises(OverloadedError):
             batcher.submit(["CCN"])
         gate.set()
         for t in riders:
             t.join(timeout=120)
         batcher.stop()
+        assert results == ["ok", "ok"]  # admitted riders still complete
+        assert batcher._inflight == 0   # every slot released on resolve
 
     def test_stop_makes_submit_fail_loudly(self, server):
         from mmdti_tpu.api.serve_api import DynamicBatcher

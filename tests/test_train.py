@@ -43,6 +43,51 @@ def _batch(B=8, N=8, L=10, seed=0):
     }, jnp.asarray(rng.randn(B, 1).astype(np.float32))
 
 
+class TestFusedAdamApply:
+    """make_fused_apply == the optax chain's tx.update + p+u, bit-identical
+    under jit (the production path), on the SAME tx.init state layout."""
+
+    @pytest.mark.parametrize("mu_dtype", ["bfloat16", "float32"])
+    @pytest.mark.parametrize("frozen", [False, True])
+    def test_bit_identical_to_chain(self, mu_dtype, frozen):
+        from mmdti_tpu.train.optim import make_fused_apply
+
+        rng = np.random.RandomState(0)
+        params = {
+            "a": jnp.asarray(rng.randn(32, 64), jnp.float32),
+            "b": {"w": jnp.asarray(rng.randn(128), jnp.float32),
+                  "x": jnp.asarray(rng.randn(4, 4), jnp.float32)},
+        }
+        mask = {"a": False, "b": {"w": True, "x": False}} if frozen else None
+        kw = dict(frozen_mask=mask, mu_dtype=mu_dtype)
+        tx, _ = make_optimizer(1e-3, 50, 0.1, 0.5, **kw)
+        fused = make_fused_apply(1e-3, 50, 0.1, 0.5, **kw)
+
+        @jax.jit
+        def chain_step(p, s, g):
+            u, s = tx.update(g, s, p)
+            return jax.tree.map(lambda q, uu: q + uu, p, u), s
+
+        fused_step = jax.jit(lambda g, s, p: fused(g, s, p))
+        s1 = tx.init(params)
+        s2 = jax.tree.map(lambda x: x, s1)
+        p1 = p2 = params
+        for i in range(8):
+            # alternate huge grads (clip TRIGGERS) and tiny ones (no clip)
+            scale = 100.0 if i % 3 == 0 else 0.01
+            g1 = jax.tree.map(lambda p: scale * jnp.sin(p + i), p1)
+            g2 = jax.tree.map(lambda p: scale * jnp.sin(p + i), p2)
+            p1, s1 = chain_step(p1, s1, g1)
+            p2, s2 = fused_step(g2, s2, p2)
+        for l1, l2 in zip(jax.tree.leaves((p1, s1)), jax.tree.leaves((p2, s2))):
+            assert np.asarray(l1).dtype == np.asarray(l2).dtype
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        if frozen:
+            np.testing.assert_array_equal(
+                np.asarray(p2["b"]["w"]), np.asarray(params["b"]["w"])
+            )
+
+
 class TestSchedule:
     def test_linear_warmup_then_decay(self):
         sched = linear_warmup_schedule(1e-3, 100, 0.1)
