@@ -109,10 +109,12 @@ class BatchCollator:
                 self.pad_idx, pad_to_length=pad_n,
             ),
         }
-        # MOF features zero the BOS/EOS distance rows (chem/mof.py
-        # coords2unimol_mof), which the device reconstruction doesn't model —
-        # MOF batches always ship host pair arrays
-        device_pairs = self.pair_feats == "device" and "gas_id" not in feats[0]
+        # MOF batches reconstruct with the MOF semantics (BOS/EOS distance
+        # rows zero — mof_pair_feats_from_coords; MOFModel passes
+        # pair_mode='mof').  At MOF scales the host pair arrays dominate the
+        # input bytes (N up to 512: [B,N,N] fp32+int32 is ~260x the coords),
+        # so device reconstruction matters even more than for molecules.
+        device_pairs = self.pair_feats == "device"
         if device_pairs:
             # ship [B,N,3] coords; the model reconstructs distance/edge on
             # device (MMModel src_coord path) — ~40x fewer input bytes at

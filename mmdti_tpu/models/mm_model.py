@@ -39,7 +39,8 @@ from mmdti_tpu.models.unimol import UniMolEncoder
 
 
 def unimol_3d_stream(mdl: nn.Module, src_tokens, src_distance, src_edge_type,
-                     src_coord, deterministic: bool):
+                     src_coord, deterministic: bool,
+                     pair_mode: str = "molecule"):
     """The 3D/conformer stream shared by MMModel and MOFModel: token
     embedding, Gaussian (or numerical) pair bias — fused-Pallas when engaged
     — and the Uni-Mol encoder.  Called from a @nn.compact __call__, so the
@@ -61,9 +62,16 @@ def unimol_3d_stream(mdl: nn.Module, src_tokens, src_distance, src_edge_type,
                 "model needs either (src_distance, src_edge_type) or "
                 "src_coord to derive them from"
             )
-        from mmdti_tpu.ops.pair_feats import pair_feats_from_coords
+        from mmdti_tpu.ops.pair_feats import (
+            mof_pair_feats_from_coords,
+            pair_feats_from_coords,
+        )
 
-        src_distance, src_edge_type = pair_feats_from_coords(
+        feats_fn = (
+            mof_pair_feats_from_coords if pair_mode == "mof"
+            else pair_feats_from_coords
+        )
+        src_distance, src_edge_type = feats_fn(
             src_tokens, src_coord, mdl.atom_vocab_size, mdl.atom_pad_idx
         )
     padding_mask = src_tokens == mdl.atom_pad_idx

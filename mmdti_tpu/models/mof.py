@@ -134,7 +134,7 @@ class MOFModel(nn.Module):
 
         enc, padding_mask, atom_mask = unimol_3d_stream(
             self, src_tokens, src_distance, src_edge_type, src_coord,
-            deterministic,
+            deterministic, pair_mode="mof",
         )
         encoder_rep = enc["rep"]                              # [B,N,E]
 

@@ -71,3 +71,33 @@ def pair_feats_from_coords(
     edge = tok[:, :, None] * jnp.int32(vocab) + tok[:, None, :]
     edge = jnp.where(pair_real, edge, jnp.int32(pad_idx))
     return dist, edge
+
+
+def mof_pair_feats_from_coords(
+    src_tokens: jnp.ndarray,   # [B,N] int
+    src_coord: jnp.ndarray,    # [B,N,3] fp32, BOS/EOS/pad rows zero
+    vocab: int,
+    pad_idx: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MOF variant (chem/mof.py coords2unimol_mof semantics): the distance
+    matrix covers only the INNER crystal atoms — the BOS row/column and the
+    EOS row/column are exactly zero (the host featurizer writes
+    ``src_distance[1:-1, 1:-1]`` only) — while edge types span all real
+    tokens like the molecule path.  EOS is located per row as the last real
+    token (the collator pads after it)."""
+    tok = src_tokens.astype(jnp.int32)
+    real = tok != pad_idx
+    n_real = jnp.sum(real.astype(jnp.int32), axis=1)       # [B]
+    pos = jnp.arange(tok.shape[1], dtype=jnp.int32)
+    inner = real & (pos[None, :] != 0) & (pos[None, :] != (n_real[:, None] - 1))
+    pair_inner = inner[:, :, None] & inner[:, None, :]
+
+    coord = src_coord.astype(jnp.float32)
+    diff = coord[:, :, None, :] - coord[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    dist = jnp.where(pair_inner, dist, 0.0)
+
+    pair_real = real[:, :, None] & real[:, None, :]
+    edge = tok[:, :, None] * jnp.int32(vocab) + tok[:, None, :]
+    edge = jnp.where(pair_real, edge, jnp.int32(pad_idx))
+    return dist, edge

@@ -168,7 +168,6 @@ class NNModel:
             pair_feats == "host"
             and isinstance(probe_feat, dict)
             and "src_distance" not in probe_feat
-            and "gas_id" not in probe_feat
         ):
             logger.info(
                 "features were built without host pair arrays "

@@ -71,3 +71,52 @@ def enable_nan_debugging() -> None:
     functional purity + NaN checks are the TPU-side equivalent)."""
     jax.config.update("jax_debug_nans", True)
     logger.info("jax_debug_nans enabled")
+
+
+class DispatchProfiler:
+    """Fit-loop profiling hooks: xprof-trace the first ``profile_steps``
+    dispatches of the first epoch into ``profile_dir``, plus per-epoch
+    dispatch-time p50/p95 logging.  Every method is a no-op when
+    ``profile_dir`` is falsy — the StepTimer's block_until_ready sync would
+    otherwise serialize async dispatch (SURVEY §5)."""
+
+    def __init__(self, profile_dir, profile_steps: int):
+        self.dir = profile_dir
+        self.steps = int(profile_steps)
+        self.enabled = bool(profile_dir)
+        self.active = False
+        self.dispatches = 0
+        self.timer = StepTimer() if self.enabled else None
+
+    def begin(self, first_epoch: bool) -> None:
+        if not self.enabled:
+            return
+        if first_epoch and self.dispatches == 0:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+        self.timer.start()
+
+    def end(self, result) -> None:
+        if not self.enabled:
+            return
+        self.timer.stop(result)
+        self.dispatches += 1
+        if self.active and self.dispatches >= self.steps:
+            jax.profiler.stop_trace()
+            self.active = False
+            logger.info("Profiler trace written to %s", self.dir)
+
+    def epoch_summary(self, epoch: int) -> None:
+        if self.enabled and self.timer.times:
+            s = self.timer.summary()
+            logger.info(
+                "Epoch %d dispatch timing: p50=%.1fms p95=%.1fms over %d dispatches",
+                epoch + 1, s["p50_s"] * 1e3, s["p95_s"] * 1e3, s["steps"],
+            )
+            self.timer = StepTimer()
+
+    def close(self) -> None:
+        """Stop a still-open trace (fewer total dispatches than profile_steps)."""
+        if self.active:
+            jax.profiler.stop_trace()
+            logger.info("Profiler trace written to %s", self.dir)

@@ -54,6 +54,13 @@ def _multi_acc(y_true, y_pred):
 
 
 def _log_loss_labeled(y_true, y_pred, labels=None):
+    """log_loss with the label set pinned.  Without an explicit label set a
+    multiclass prob matrix over a y_true that misses a class (a scaffold
+    test split easily drops one) makes sklearn raise 'different number of
+    classes' — the prob-matrix width IS the class count, so default to it
+    (reference surface: utils/metrics.py multiclass registries)."""
+    if labels is None and np.ndim(y_pred) == 2 and np.shape(y_pred)[1] > 1:
+        labels = list(range(np.shape(y_pred)[1]))
     return log_loss(y_true, y_pred, labels=labels) if labels is not None else log_loss(y_true, y_pred)
 
 

@@ -77,18 +77,64 @@ class TestReconstruction:
         assert (np.asarray(edge)[0, :, n_real:] == pad_idx).all()
         assert (np.asarray(edge)[0, n_real:, :] == pad_idx).all()
 
-    def test_mof_batches_keep_host_arrays(self, featurized):
-        """MOF distance semantics (zeroed BOS/EOS rows) differ from the
-        device reconstruction — a MOF batch must ship host arrays even in
-        device mode."""
+    def test_mof_batches_ship_coords_in_device_mode(self, featurized):
+        """Round 5: MOF batches take the device pair-feats path too
+        (mof_pair_feats_from_coords models the zeroed BOS/EOS distance
+        rows); at MOF scales (N up to 512) the host [B,N,N] arrays are
+        ~260x the coord bytes through the tunnel."""
         gen, feats = featurized
         f = dict(feats[0])
         f["gas_id"] = 3
         f["gas_attr"] = np.zeros(6, np.float32)
         batch = _collate([f], "device", gen.dictionary.pad())
-        assert "src_distance" in batch and "src_coord" not in batch
+        assert "src_coord" in batch and "src_distance" not in batch
+
+    def test_mof_device_reconstruction_matches_host(self):
+        """mof_pair_feats_from_coords == coords2unimol_mof's host arrays
+        (BOS/EOS rows zero in distance, full outer product in edge),
+        including padded batches of mixed sizes."""
+        from mmdti_tpu.chem.dictionary import Dictionary
+        from mmdti_tpu.chem.mof import coords2unimol_mof
+        from mmdti_tpu.ops.pair_feats import mof_pair_feats_from_coords
+        from mmdti_tpu.utils.padding import pad_1d_tokens, pad_2d, pad_coords
+
+        d = Dictionary.load(None)
+        rng = np.random.RandomState(0)
+        samples = [
+            coords2unimol_mof(
+                ["C", "O", "Zn", "C", "O"][: 3 + i],
+                rng.randn(3 + i, 3).astype(np.float32) * 3.0,
+                d,
+            )
+            for i in range(3)
+        ]
+        pad_idx = d.pad()
+        pad_n = max(len(s["src_tokens"]) for s in samples) + 2  # force pads
+        toks = pad_1d_tokens(
+            [np.asarray(s["src_tokens"], np.int32) for s in samples],
+            pad_idx, pad_to_length=pad_n,
+        )
+        coords = pad_coords(
+            [np.asarray(s["src_coord"], np.float32) for s in samples],
+            0.0, pad_to_length=pad_n,
+        )
+        want_dist = pad_2d(
+            [np.asarray(s["src_distance"], np.float32) for s in samples],
+            0.0, pad_to_length=pad_n,
+        )
+        want_edge = pad_2d(
+            [np.asarray(s["src_edge_type"], np.int32) for s in samples],
+            pad_idx, pad_to_length=pad_n,
+        )
+        dist, edge = mof_pair_feats_from_coords(
+            jnp.asarray(toks), jnp.asarray(coords),
+            vocab=len(d), pad_idx=pad_idx,
+        )
+        np.testing.assert_allclose(np.asarray(dist), want_dist, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(edge), want_edge)
 
 
+@pytest.mark.heavy
 class TestModelEquivalence:
     def test_forward_identical_between_input_modes(self, featurized):
         """MMModel(coords) == MMModel(distance, edge) on the same params."""

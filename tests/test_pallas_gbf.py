@@ -161,6 +161,7 @@ class TestModuleInterchange:
         )
 
 
+@pytest.mark.heavy
 class TestFullModelPallasPath:
     def test_model_fwd_and_grads_match_xla_path(self):
         """The complete TPU path (fused gbf kernel + fused attention kernels)

@@ -571,6 +571,81 @@ class TestDynamicBatching:
         assert batcher.batches_run == K
         batcher.stop()
 
+    def test_sustained_mixed_bucket_slo(self, server, monkeypatch):
+        """Serving SLO regression guard (VERDICT r4 #7): sustained mixed-SIZE
+        concurrent load through the batcher — riders of different row counts
+        coalescing into shared batches over several rounds — must (a) serve
+        every rider its own rows, (b) beat the un-pipelined stage-sum wall
+        time, and (c) bound every rider's latency by the pipeline depth.
+
+        Stage times are INJECTED (40ms sleeps) so the bounds are properties
+        of the batcher's structure, not of this 1-core host's scheduler: with
+        real ~5ms CPU model steps, thread wake-up latency dominates and any
+        wall-time assertion flakes (measured 0.68s vs 0.15s serial)."""
+        import time as _time
+
+        from mmdti_tpu.api.serve_api import DynamicBatcher
+
+        H = D = 0.04
+        calls = {"n": 0}
+
+        def fake_dispatch(self, smiles):
+            _time.sleep(H)   # host stage: featurize + collate + dispatch
+            calls["n"] += 1
+            return [(list(smiles), len(smiles))], None
+
+        def fake_finalize(self, chunks, feats, t0):
+            _time.sleep(D)   # device stage: blocking pull
+            n = sum(c[1] for c in chunks)
+            # rows encode their batch position so _distribute slicing is
+            # verifiable per rider
+            return {
+                "predict": np.arange(n, dtype=np.float64).reshape(n, 1),
+                "proba": None, "target_cols": self.target_cols,
+                "valid": np.ones(n, bool),
+            }
+
+        monkeypatch.setattr(type(server), "_dispatch_forward", fake_dispatch)
+        monkeypatch.setattr(type(server), "_finalize_forward", fake_finalize)
+
+        sizes = [1, 3, 1, 5, 2, 1, 4, 1]  # 18 rows/round, mixed buckets
+        batcher = DynamicBatcher(server, window_ms=5.0, max_batch=6)
+        lat, rows = {}, {}
+
+        def ride(key, smi):
+            s = _time.perf_counter()
+            out = batcher.submit(list(smi))
+            lat[key] = _time.perf_counter() - s
+            rows[key] = np.asarray(out["predict"]).reshape(-1)
+
+        ROUNDS = 3
+        t0 = _time.perf_counter()
+        for rnd in range(ROUNDS):
+            threads = [
+                threading.Thread(target=ride, args=((rnd, i), ["CCO"] * s))
+                for i, s in enumerate(sizes)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+        wall = _time.perf_counter() - t0
+        batcher.stop()
+
+        assert len(lat) == ROUNDS * len(sizes)       # every rider served
+        for (rnd, i), got in rows.items():
+            assert got.shape == (sizes[i],)           # own rows, right count
+            # rows are consecutive batch positions (the _distribute slice)
+            np.testing.assert_allclose(np.diff(got), 1.0)
+        n_batches = calls["n"]
+        # throughput: the two 40ms stages must overlap across batches —
+        # un-pipelined service costs n_batches*(H+D)
+        assert wall < n_batches * (H + D) * 0.9 + 0.2, (wall, n_batches)
+        # tail latency: a rider waits at most ~window + its batch + the
+        # bounded in-flight window (pipeline_depth+2 batches ahead)
+        p95 = sorted(lat.values())[int(0.95 * len(lat))]
+        assert p95 < 5 * (H + D) + 0.5, (p95, sorted(lat.values())[-3:])
+
     def test_overload_shedding(self, server, monkeypatch):
         """Past max_pending IN-FLIGHT riders (queued, dispatched, or parked
         in retry — not just _q depth, ADVICE r4), submit sheds load with

@@ -89,6 +89,21 @@ class TestSingleClassColumns:
         score = Metrics("classification", "auc").cal_metric(y, p)
         assert np.isnan(score["auc"])
 
+    def test_multiclass_log_loss_survives_missing_class(self):
+        """A multiclass test split that misses a class (seed 2 of the round-5
+        chip protocol hit this via MolPredict's label_cnt-less cal_metric)
+        must score, not raise — the prob-matrix width pins the label set."""
+        from mmdti_tpu.utils.metrics import Metrics
+
+        rng = np.random.RandomState(0)
+        y = rng.randint(0, 2, size=(30, 1))          # classes {0,1} only...
+        p = rng.rand(30, 3)                          # ...of a 3-class model
+        p = p / p.sum(axis=1, keepdims=True)
+        m = Metrics("multiclass", "log_loss")
+        score = m.cal_metric(y, p)                   # no label_cnt passed
+        assert np.isfinite(score["log_loss"])
+        assert np.isfinite(score["acc"])
+
     def test_nan_labels_are_masked_not_cast(self):
         """NaN classification labels must be excluded, never int-cast (the
         cast is platform-UB: NaN becomes 0 on aarch64 saturating casts and

@@ -414,6 +414,142 @@ class TestResumeE2E:
                 assert ra[k] == rb[k], (ra["epoch"], k, ra[k], rb[k])
 
 
+    def test_abort_after_snapshot_resumes_exact_trajectory(self, tmp_path):
+        """Fault injection (VERDICT r4 #8): the run is ABORTED mid-training —
+        after epoch 2's async train-state snapshot lands but before fit
+        returns (no clean stop_after_epoch boundary, no final best
+        checkpoint) — and a resume=True run must still reproduce the
+        uninterrupted trajectory bit-exactly from the snapshot."""
+        import json
+        import os
+
+        import pandas as pd
+
+        from mmdti_tpu import MolTrain
+        from mmdti_tpu.train.trainer import Trainer
+        from tests.conftest import SMALL_ARCH, SMILES_20
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({
+            "smiles": SMILES_20, "y": rng.randn(len(SMILES_20)).astype(float),
+        })
+        train_csv = str(tmp_path / "train.csv")
+        val_csv = str(tmp_path / "val.csv")
+        df.iloc[:16].to_csv(train_csv, index=False)
+        df.iloc[16:].to_csv(val_csv, index=False)
+        common = dict(
+            task="regression", batch_size=8, metrics="mse", smiles_col="smiles",
+            target_cols=["y"], seed=0, compute_dtype="float32",
+            use_pallas=False, early_stopping=10, epochs=4,
+            checkpoint_interval=1, **SMALL_ARCH,
+        )
+
+        def rows(exp):
+            with open(os.path.join(exp, "history_0.json")) as f:
+                return json.load(f)
+
+        exp_a = str(tmp_path / "uninterrupted")
+        MolTrain(save_path=exp_a, **common).fit(train_csv, val_csv)
+
+        exp_b = str(tmp_path / "aborted")
+        orig = Trainer._save_epoch_state
+
+        class _Killed(BaseException):
+            pass
+
+        def save_then_die(self, ckpt_saver, dump_dir, fold, epoch, *a, **kw):
+            out = orig(self, ckpt_saver, dump_dir, fold, epoch, *a, **kw)
+            if epoch == 1:  # 0-based: after the 2nd epoch's save submitted
+                ckpt_saver.wait()  # the async snapshot has LANDED on disk
+                raise _Killed()    # ... and the process "dies" here
+            return out
+
+        Trainer._save_epoch_state = save_then_die
+        try:
+            with pytest.raises(_Killed):
+                MolTrain(save_path=exp_b, **common).fit(train_csv, val_csv)
+        finally:
+            Trainer._save_epoch_state = orig
+        # no final best checkpoint was written — only the train state
+        assert not os.path.exists(os.path.join(exp_b, "model_0.ckpt"))
+        assert os.path.exists(os.path.join(exp_b, "train_state_0.ckpt"))
+
+        MolTrain(save_path=exp_b, resume=True, **common).fit(train_csv, val_csv)
+        hist_a, hist_b = rows(exp_a), rows(exp_b)
+        assert [r["epoch"] for r in hist_b] == [1, 2, 3, 4]
+        for ra, rb in zip(hist_a, hist_b):
+            for k in ("train_loss", "m_loss", "infonce_loss", "ct_loss",
+                      "val_loss", "val_mse"):
+                assert ra[k] == rb[k], (ra["epoch"], k, ra[k], rb[k])
+        assert os.path.exists(os.path.join(exp_b, "model_0.ckpt"))
+
+    def test_corrupt_train_state_fails_loudly(self, tmp_path):
+        """A truncated/corrupted train_state artifact must abort the resume
+        with an exception — silently restarting from scratch would discard
+        the user's training budget without telling them."""
+        import os
+
+        import pandas as pd
+
+        from mmdti_tpu import MolTrain
+        from mmdti_tpu.train.trainer import train_state_path
+        from tests.conftest import SMALL_ARCH, SMILES_20
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame({
+            "smiles": SMILES_20, "y": rng.randn(len(SMILES_20)).astype(float),
+        })
+        train_csv = str(tmp_path / "train.csv")
+        val_csv = str(tmp_path / "val.csv")
+        df.iloc[:16].to_csv(train_csv, index=False)
+        df.iloc[16:].to_csv(val_csv, index=False)
+        exp = str(tmp_path / "exp")
+        common = dict(
+            task="regression", batch_size=8, metrics="mse", smiles_col="smiles",
+            save_path=exp, target_cols=["y"], seed=0, compute_dtype="float32",
+            use_pallas=False, checkpoint_interval=1, early_stopping=10,
+            **SMALL_ARCH,
+        )
+        MolTrain(epochs=2, **common).fit(train_csv, val_csv)
+        path = train_state_path(exp, 0)
+        blob = open(path, "rb").read()
+        with open(path, "wb") as f:
+            f.write(blob[: len(blob) // 3])  # truncate mid-stream
+        with pytest.raises(Exception):
+            MolTrain(epochs=4, resume=True, **common).fit(train_csv, val_csv)
+
+    def test_corrupt_best_checkpoint_fails_loudly(self, tmp_path):
+        """A corrupted model_{fold}.ckpt must fail MolPredict loudly, not
+        serve garbage weights."""
+        import os
+
+        import pandas as pd
+
+        from mmdti_tpu import MolPredict, MolTrain
+        from tests.conftest import SMALL_ARCH, SMILES_20
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({
+            "smiles": SMILES_20, "y": rng.randn(len(SMILES_20)).astype(float),
+        })
+        train_csv = str(tmp_path / "train.csv")
+        val_csv = str(tmp_path / "val.csv")
+        df.iloc[:16].to_csv(train_csv, index=False)
+        df.iloc[16:].to_csv(val_csv, index=False)
+        exp = str(tmp_path / "exp")
+        MolTrain(
+            task="regression", epochs=1, batch_size=8, metrics="mse",
+            smiles_col="smiles", save_path=exp, target_cols=["y"], seed=0,
+            compute_dtype="float32", use_pallas=False, **SMALL_ARCH,
+        ).fit(train_csv, val_csv)
+        ckpt = os.path.join(exp, "model_0.ckpt")
+        blob = open(ckpt, "rb").read()
+        with open(ckpt, "wb") as f:
+            f.write(blob[: len(blob) // 2])
+        with pytest.raises(Exception):
+            MolPredict(load_model=exp).predict(val_csv)
+
+
 class TestLossStateResume:
     def test_loss_state_roundtrips_through_train_state(self, tmp_path):
         """GHM's EMA bin counts must survive save/load (a resume would
