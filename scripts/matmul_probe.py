@@ -22,33 +22,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_rate(m, k, n, reps=60, dtype=jnp.bfloat16):
-    """Sustained TFLOP/s of x@W with a data dependency between iterations."""
+def chain_rate(m, k, n, inner=100, reps=10, dtype=jnp.bfloat16):
+    """Sustained TFLOP/s of x@W with a data dependency between iterations.
+
+    The dependent chain runs INSIDE one jit (lax.fori_loop) — a first
+    attempt chained separate jit calls and measured the per-dispatch launch
+    overhead (~0.1 ms/op through the tunnel) instead of the matmul rate:
+    [2048,512]x[512,512] read 10.9 TF op-chained vs the in-jit number
+    below.  Inside a compiled step program there is no per-op launch, so
+    the in-jit rate is the roofline denominator that matters."""
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(m, k), jnp.float32).astype(dtype)
     w = jnp.asarray(rng.randn(k, n), jnp.float32).astype(dtype)
     wb = jnp.asarray(rng.randn(n, k), jnp.float32).astype(dtype)
 
     @jax.jit
-    def step(x):
-        y = x @ w            # [m,k]@[k,n]
-        return (y @ wb)      # back to [m,k]: dependent chain
+    def block(x):
+        def body(_, y):
+            return ((y @ w) @ wb).astype(dtype)
+        return jax.lax.fori_loop(0, inner, body, x)
 
-    x1 = step(step(x))
-    jax.block_until_ready(x1)
+    jax.block_until_ready(block(x))
 
     def run(r):
         y = x
         t0 = time.perf_counter()
         for _ in range(r):
-            y = step(y)
+            y = block(y)
         jax.block_until_ready(y)
         return time.perf_counter() - t0
 
     t1 = run(reps)
     t2 = run(3 * reps)
-    per = (t2 - t1) / (2 * reps)
-    flops = 2 * 2 * m * k * n  # two matmuls per step
+    per = (t2 - t1) / (2 * reps) / inner
+    flops = 2 * 2 * m * k * n  # two matmuls per loop iteration
     return flops / per / 1e12, per * 1e3
 
 

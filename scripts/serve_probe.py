@@ -31,7 +31,7 @@ SMILES = [
 ]
 
 
-def build_flagship_exp(exp_dir: str) -> None:
+def build_flagship_exp(exp_dir: str, coord_provider: str = "auto") -> None:
     import jax
     import numpy as np
 
@@ -44,6 +44,7 @@ def build_flagship_exp(exp_dir: str) -> None:
 
     cfg = default_config()
     cfg.task = "regression"
+    cfg.coord_provider = coord_provider  # host vs device conformer A/B
     cfg.target_cols = "measured"
     cfg.num_classes = 1
     cfg.use_scaler = False
@@ -88,12 +89,16 @@ def main():
     ap.add_argument("--requests", type=int, default=50)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--skip-http", action="store_true")
+    ap.add_argument("--coord-provider", default="auto",
+                    choices=["auto", "host", "device"],
+                    help="conformer refinement placement (PERF.md p50/p95 "
+                         "table A/B; 'auto' = device on TPU without RDKit)")
     args = ap.parse_args()
 
     from mmdti_tpu import MolServe
 
     with tempfile.TemporaryDirectory() as exp:
-        build_flagship_exp(exp)
+        build_flagship_exp(exp, coord_provider=args.coord_provider)
         t0 = time.time()
         srv = MolServe(exp)
         print(f"MolServe init: {time.time()-t0:.1f}s", flush=True)
