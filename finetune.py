@@ -44,6 +44,13 @@ def make_synthetic_dataset(
     ]
     subs = ["", "C", "CC", "CCC", "O", "N", "Cl", "F", "OC", "C(=O)O", "C(C)C", "CO"]
     rng = np.random.RandomState(seed)
+    # the multilabel columns draw their label noise from a SEPARATE stream:
+    # consuming extra draws from `rng` would shift every later row's
+    # scaffold/substituent/target draws and silently change the historical
+    # regression/classification datasets (RMSEs stop being comparable
+    # round-over-round — caught when the round-5 HEAD re-run moved seed-0
+    # RMSE 0.27 -> 0.45 on what should have been identical data)
+    rng2 = np.random.RandomState(seed + 104729)
     rows = []
     for i in range(n):
         smi = f"{subs[rng.randint(len(subs))]}{scaffolds[rng.randint(len(scaffolds))]}"
@@ -52,8 +59,8 @@ def make_synthetic_dataset(
         n_hetero = sum(1 for a in mol.atoms if a.symbol not in ("C", "H"))
         n_arom = sum(1 for a in mol.atoms if a.aromatic)
         y = -0.2 * n_heavy + 0.8 * n_hetero + rng.randn() * 0.3
-        rows.append((smi, y, n_heavy, n_hetero + rng.randn() * 0.3,
-                     n_arom + rng.randn() * 0.3))
+        rows.append((smi, y, n_heavy, n_hetero + rng2.randn() * 0.3,
+                     n_arom + rng2.randn() * 0.3))
     df = pd.DataFrame(rows, columns=["smiles", "measured", "_sz", "_het", "_ar"])
     if task == "classification":
         df["measured"] = (df["measured"] > df["measured"].median()).astype(int)

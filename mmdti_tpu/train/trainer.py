@@ -22,15 +22,13 @@ re-designed TPU-first:
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mmdti_tpu.data.batching import MolDataLoader
-from mmdti_tpu.losses.registry import target_is_integer
 from mmdti_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
