@@ -46,6 +46,9 @@ def main():
     weights = jnp.ones((B, 1), jnp.float32)
     tx, _ = make_optimizer(1e-4, 10000, 0.03, 5.0)
     opt_state = tx.init(params)
+    from mmdti_tpu.train.optim import make_fused_apply
+
+    fused_apply = make_fused_apply(1e-4, 10000, 0.03, 5.0)  # production path
 
     def loss_fn(p, rng):
         out = model.apply({"params": p}, **batch, deterministic=False,
@@ -58,8 +61,8 @@ def main():
     def step(p, opt, i):
         rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
         loss, grads = jax.value_and_grad(loss_fn)(p, rng)
-        updates, opt = tx.update(grads, opt, p)
-        return jax.tree.map(lambda a, u: a + u, p, updates), opt, loss
+        p, opt = fused_apply(grads, opt, p)
+        return p, opt, loss
 
     for i in range(8):  # compile + warm
         params, opt_state, loss = step(params, opt_state, i)
