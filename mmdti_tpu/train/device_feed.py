@@ -107,10 +107,25 @@ class DeviceFeedMixin:
             return False
         return True
 
+    @staticmethod
+    def _row_bucket(n: int) -> int:
+        """Resident-array row count, bucketed to multiples of 128.
+
+        Every jit signature embeds the resident arrays' shapes, so a raw
+        per-dataset row count makes EACH CV fold / protocol seed (whose
+        scaffold splits differ by a handful of molecules) a fresh compile of
+        the whole epoch program — minutes of remote compile per fold on slow
+        compile-server days (observed 15+ min, round 5).  Bucketing to 128
+        rows makes typical folds collide onto one executable; the batch
+        index matrices only ever reference real rows, so pad rows are
+        gather-dead zeros."""
+        return max(128, -(-n // 128) * 128)
+
     def _dataset_to_device(self, dataset, collate_fn):
         """Collate the whole dataset once and place it resident (replicated)
-        on the mesh.  Returns (feats, labels, weights) device arrays plus the
-        host label rows (for metrics / truth columns)."""
+        on the mesh, rows padded up to the 128 bucket.  Returns (feats,
+        labels, weights) device arrays plus the UNPADDED host label rows
+        (for metrics / truth columns)."""
         batch, labels = collate_dataset(dataset, collate_fn)
         feats, weights = self._split_batch(batch)
         labels_h = self._labels_host(labels)
@@ -119,8 +134,19 @@ class DeviceFeedMixin:
             if weights is not None
             else np.ones((labels.shape[0], 1), np.float32)
         )
+        pad_to = self._row_bucket(labels_h.shape[0])
+
+        def pad_rows(x):
+            n = x.shape[0]
+            if n == pad_to:
+                return x
+            return np.concatenate(
+                [x, np.zeros((pad_to - n,) + x.shape[1:], x.dtype)], axis=0
+            )
+
+        feats = {k: pad_rows(np.asarray(v)) for k, v in feats.items()}
         feats_d, labels_d, w_d = jax.device_put(
-            (feats, labels_h, w_h), replicated(self.mesh)
+            (feats, pad_rows(labels_h), pad_rows(w_h)), replicated(self.mesh)
         )
         return feats_d, labels_d, w_d, labels
 

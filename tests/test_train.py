@@ -300,6 +300,45 @@ class TestDeviceFeedNormalization:
             norm("maybe")
 
 
+class TestDeviceFeedRowBuckets:
+    def test_fold_sized_datasets_share_resident_shapes(self):
+        """Resident arrays pad rows to 128-buckets so CV folds / protocol
+        seeds whose splits differ by a few molecules hit ONE compiled epoch
+        program instead of a fresh remote compile each (round 5; the batch
+        index matrices never reference pad rows)."""
+        from mmdti_tpu.train.trainer import Trainer
+
+        t = Trainer(task="regression", metrics="mse", batch_size=8)
+
+        class _DS:
+            def __init__(self, n):
+                self.n = n
+            def __len__(self):
+                return self.n
+            def __getitem__(self, i):
+                return {"src_tokens": np.array([0, 5, 2])}, np.float32(i)
+
+        def collate(items):
+            feats = {"src_tokens": np.stack([f["src_tokens"] for f, _ in items])}
+            labels = np.asarray([y for _, y in items], np.float32).reshape(-1, 1)
+            return feats, labels
+
+        collate.pad_mode = "dataset"  # static pads (collate_dataset contract)
+
+        shapes = {}
+        for n in (130, 200, 256):
+            f, l, w, labels_host = t._dataset_to_device(_DS(n), collate)
+            shapes[n] = (f["src_tokens"].shape, l.shape, w.shape)
+            assert labels_host.shape[0] == n          # host rows UNPADDED
+            assert l.shape[0] == 256                  # bucketed
+            # pad rows are zeros, real rows intact
+            assert float(l[n:].sum()) == 0.0
+            np.testing.assert_array_equal(
+                np.asarray(l[:n]).reshape(-1), np.arange(n, dtype=np.float32)
+            )
+        assert shapes[130] == shapes[200] == shapes[256]
+
+
 class TestAsyncSaver:
     def test_error_propagates_on_wait(self):
         from mmdti_tpu.train.trainer import _AsyncSaver
